@@ -1,0 +1,109 @@
+"""Rigid transforms, quaternions, Gaussian covariance building, pose interpolation.
+
+Behavioral parity notes:
+  * quaternion_to_matrix / build_covariance mirror the xyzw-quaternion covariance math of
+    /root/reference/src/model/encoder/common/gaussians.py:8-44 (Sigma = R S S^T R^T).
+  * interpolate_pose_6d mirrors the 6D-rotation pose interpolation used for trajectory
+    videos (/root/reference/src/model/model_wrapper_erp.py:891-979).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quaternion_to_matrix(quat_xyzw: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """xyzw quaternion [..., 4] -> rotation matrix [..., 3, 3] (scipy component order)."""
+    i = quat_xyzw[..., 0]
+    j = quat_xyzw[..., 1]
+    k = quat_xyzw[..., 2]
+    r = quat_xyzw[..., 3]
+    two_s = 2.0 / (jnp.sum(quat_xyzw * quat_xyzw, axis=-1) + eps)
+    o = jnp.stack(
+        [
+            1 - two_s * (j * j + k * k),
+            two_s * (i * j - k * r),
+            two_s * (i * k + j * r),
+            two_s * (i * j + k * r),
+            1 - two_s * (i * i + k * k),
+            two_s * (j * k - i * r),
+            two_s * (i * k - j * r),
+            two_s * (j * k + i * r),
+            1 - two_s * (i * i + j * j),
+        ],
+        axis=-1,
+    )
+    return o.reshape(*o.shape[:-1], 3, 3)
+
+
+def build_covariance(scale: jnp.ndarray, quat_xyzw: jnp.ndarray) -> jnp.ndarray:
+    """Per-Gaussian world covariance: Sigma = R diag(s)^2 R^T.
+
+    scale: [..., 3]; quat_xyzw: [..., 4] -> [..., 3, 3].
+    """
+    rot = quaternion_to_matrix(quat_xyzw)
+    rs = rot * scale[..., None, :]  # R @ diag(s)
+    return rs @ jnp.swapaxes(rs, -1, -2)
+
+
+def homogenize_points(points: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3] -> [..., 4] with a trailing 1."""
+    return jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)
+
+
+def transform_points(matrix: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+    """Apply a [..., 4, 4] rigid transform to [..., 3] points (broadcasting)."""
+    return (
+        jnp.einsum("...ij,...j->...i", matrix[..., :3, :3], points)
+        + matrix[..., :3, 3]
+    )
+
+
+def inverse_se3(pose: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of a [..., 4, 4] SE(3) pose (no general matrix inverse)."""
+    rot = pose[..., :3, :3]
+    t = pose[..., :3, 3]
+    rot_t = jnp.swapaxes(rot, -1, -2)
+    t_inv = -jnp.einsum("...ij,...j->...i", rot_t, t)
+    top = jnp.concatenate([rot_t, t_inv[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pose.dtype), (*top.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def rotation_6d_to_matrix(d6: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Gram-Schmidt 6D rotation representation [..., 6] -> [..., 3, 3]."""
+    a1 = d6[..., 0:3]
+    a2 = d6[..., 3:6]
+    b1 = a1 / (jnp.linalg.norm(a1, axis=-1, keepdims=True) + eps)
+    a2 = a2 - jnp.sum(b1 * a2, axis=-1, keepdims=True) * b1
+    b2 = a2 / (jnp.linalg.norm(a2, axis=-1, keepdims=True) + eps)
+    b3 = jnp.cross(b1, b2)
+    return jnp.stack([b1, b2, b3], axis=-2)
+
+
+def matrix_to_rotation_6d(rot: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] -> first two rows flattened [..., 6]."""
+    return jnp.concatenate([rot[..., 0, :], rot[..., 1, :]], axis=-1)
+
+
+def interpolate_pose_6d(pose_a: jnp.ndarray, pose_b: jnp.ndarray, t) -> jnp.ndarray:
+    """Interpolate two c2w poses: lerp translation + 6D-rotation lerp + re-orthogonalize.
+
+    t may be a scalar or an array broadcastable to [..., 1]; matches the reference's
+    interpolate_render_poses_m9d trajectory generator behavior.
+    """
+    t = jnp.asarray(t, dtype=pose_a.dtype)
+    while t.ndim < pose_a.ndim - 2:
+        t = t[..., None]
+    trans = (1 - t)[..., None] * pose_a[..., :3, 3] + t[..., None] * pose_b[..., :3, 3]
+    d6 = (1 - t)[..., None] * matrix_to_rotation_6d(pose_a[..., :3, :3]) + t[
+        ..., None
+    ] * matrix_to_rotation_6d(pose_b[..., :3, :3])
+    rot = rotation_6d_to_matrix(d6)
+    top = jnp.concatenate([rot, trans[..., None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pose_a.dtype), (*top.shape[:-2], 1, 4)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)

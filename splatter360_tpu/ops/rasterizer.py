@@ -1,0 +1,102 @@
+"""Tiled differentiable Gaussian rasterizer — the production render path.
+
+Pipeline (TPU-first redesign of the reference's CUDA rasterizer, SURVEY.md §2.9/§7 M2):
+  1. project (ops/projection.py, plain JAX — autograd carries gradients from 2D screen
+     params back to 3D means/covariances/SH exactly like the CUDA backward chain);
+  2. SH -> view-dependent colors (plain JAX);
+  3. tile binning + lexicographic (tile, depth) sort (ops/tiling.py);
+  4. per-tile front-to-back compositing — `backend="jax"` uses the vmapped scan
+     fallback (ops/composite_jax.py), `backend="pallas"` the Mosaic kernel
+     (ops/pallas/composite.py) whose custom VJP computes analytic gradients w.r.t.
+     per-instance (mean2d, conic, color, opacity); the instance gather's transpose
+     scatter-adds those into per-Gaussian gradients automatically.
+
+Batch over views/scenes with jax.vmap; all shapes static.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+
+from .projection import project_erp, project_pinhole, sh_colors
+from .tiling import assign_tiles
+from .composite_jax import composite_tiles_jax
+from .rasterizer_ref import RenderOutput
+
+
+def render_tiled(
+    means: jnp.ndarray,
+    covariances: jnp.ndarray,
+    harmonics: jnp.ndarray,
+    opacities: jnp.ndarray,
+    c2w: jnp.ndarray,
+    image_shape: tuple[int, int],
+    camera_kind: str = "erp",
+    intrinsics: Optional[jnp.ndarray] = None,
+    near: float | jnp.ndarray = 0.1,
+    far: float | jnp.ndarray = 100.0,
+    background: Optional[jnp.ndarray] = None,
+    sh_degree: Optional[int] = None,
+    render_depth: bool = False,
+    backend: str = "pallas",
+    max_per_tile: int = 512,
+) -> RenderOutput:
+    """Render one view. Same contract as render_dense (rasterizer_ref.py)."""
+    if background is None:
+        background = jnp.zeros((3,), means.dtype)
+    if sh_degree is None:
+        sh_degree = int(math.isqrt(harmonics.shape[-1]) - 1)
+
+    if camera_kind == "erp":
+        proj = project_erp(means, covariances, c2w, image_shape, near)
+        wrap_x = True
+    elif camera_kind == "pinhole":
+        assert intrinsics is not None
+        proj = project_pinhole(means, covariances, c2w, intrinsics, image_shape, near)
+        wrap_x = False
+    else:
+        raise ValueError(camera_kind)
+
+    if harmonics.shape[-1] == 1:
+        colors = harmonics[..., 0]
+    else:
+        colors = sh_colors(harmonics, means, c2w[:3, 3], sh_degree)
+
+    assignment = assign_tiles(proj, image_shape, wrap_x)
+
+    if backend == "jax":
+        rgb, alpha, dacc = composite_tiles_jax(
+            assignment,
+            proj.mean2d,
+            proj.conic,
+            colors,
+            opacities,
+            proj.depth,
+            image_shape,
+            background,
+            wrap_x,
+            max_per_tile=max_per_tile,
+        )
+    elif backend == "pallas":
+        from .pallas.composite import composite_tiles_pallas
+
+        rgb, alpha, dacc = composite_tiles_pallas(
+            assignment,
+            proj.mean2d,
+            proj.conic,
+            colors,
+            opacities,
+            proj.depth,
+            image_shape,
+            background,
+            wrap_x,
+        )
+    else:
+        raise ValueError(backend)
+
+    return RenderOutput(
+        color=rgb, depth=dacc if render_depth else None, alpha=alpha
+    )

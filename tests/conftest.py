@@ -1,0 +1,25 @@
+"""Test config: force an 8-device virtual CPU mesh before JAX initializes.
+
+Mirrors the multi-host test strategy in SURVEY.md §4 (f): sharding logic is validated on a
+virtual CPU mesh; real-TPU benchmarks run separately via bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# XLA:CPU's oneDNN path runs f32 dots in bf16-ish fastmath by default; pin full f32 so
+# allclose tests are meaningful. (TPU kernels set their precision explicitly.)
+jax.config.update("jax_default_matmul_precision", "highest")
+# XLA:CPU compiles are ~1s even for trivial ops on small hosts; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/splat360_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
