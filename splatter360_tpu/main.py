@@ -1,0 +1,59 @@
+"""CLI entry point (SURVEY.md §2.1 parity with src/main.py).
+
+Usage:
+  python -m splatter360_tpu.main [config.yaml] [mode=train|test] [a.b=c ...]
+
+Builds the typed RootConfig from YAML + dotted overrides, then dispatches train/test.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from .config import RootConfig, load_config
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = None
+    if argv and "=" not in argv[0]:
+        path = argv.pop(0)
+    cfg = load_config(path, argv)
+
+    if cfg.mode == "train":
+        from .train.trainer import Trainer
+
+        Trainer(cfg).fit()
+    elif cfg.mode == "test":
+        import jax
+
+        from .data.dataset import SceneDataset, batch_examples
+        from .train import checkpoint as ckpt
+        from .train.evaluator import Evaluator
+        from .train.state import create_train_state
+
+        dataset = SceneDataset(cfg.dataset, split="test", stage="test")
+        first = None
+        for ex in dataset:
+            first = batch_examples([ex])
+            break
+        if first is None:
+            raise SystemExit("no test scenes found")
+        state = create_train_state(
+            jax.random.PRNGKey(0), cfg.model, cfg.train,
+            {k: v for k, v in first.items() if k != "scene"},
+        )
+        ckpt_dir = cfg.checkpointing.load or str(
+            Path(cfg.output_dir) / "checkpoints"
+        )
+        state, ok = ckpt.restore_weights_only(ckpt_dir, state)
+        if not ok:
+            print("warning: no checkpoint restored; evaluating random weights")
+        Evaluator(cfg, state).run()
+    else:
+        raise SystemExit(f"unknown mode {cfg.mode}")
+
+
+if __name__ == "__main__":
+    main()

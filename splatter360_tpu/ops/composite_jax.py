@@ -23,6 +23,7 @@ def composite_tiles_jax(
     colors: jnp.ndarray,    # [N, C]
     opacities: jnp.ndarray, # [N]
     depths: jnp.ndarray,    # [N]
+    radii: jnp.ndarray,     # [N]
     image_shape: tuple[int, int],
     background: jnp.ndarray,
     wrap_x: bool,
@@ -44,6 +45,7 @@ def composite_tiles_jax(
     g_color = colors[gi]                     # [T, M, C]
     g_op = jnp.where(in_seg, opacities[gi], 0.0)  # [T, M]
     g_depth = depths[gi]                     # [T, M]
+    g_rad = radii[gi]                        # [T, M]
 
     tid = jnp.arange(ntx * nty, dtype=jnp.int32)
     tile_x0 = (tid % ntx) * TILE_W
@@ -52,20 +54,24 @@ def composite_tiles_jax(
     py = jnp.arange(TILE_H, dtype=mean2d.dtype)
     xx, yy = jnp.meshgrid(px, py, indexing="xy")  # [TH, TW]
 
-    def tile_fn(x0, y0, means, conics, cols, ops, deps):
+    def tile_fn(x0, y0, means, conics, cols, ops, deps, rads):
         gx = xx + x0
         gy = yy + y0
 
         def step(carry, g):
             rgb, trans, dacc = carry
-            m, cn, cl, o, d = g
+            m, cn, cl, o, d, r = g
             dx = gx - m[0]
             if wrap_x:
                 dx = dx - w * jnp.round(dx / w)
             dy = gy - m[1]
             power = -0.5 * (cn[0] * dx * dx + cn[2] * dy * dy) - cn[1] * dx * dy
             alpha = jnp.minimum(0.99, o * jnp.exp(power))
-            alpha = jnp.where((power <= 0.0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
+            inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+            alpha = jnp.where(
+                inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
+                alpha, 0.0
+            )
             alpha = jnp.where(trans * (1.0 - alpha) >= 1e-4, alpha, 0.0)
             weight = alpha * trans
             rgb = rgb + weight[..., None] * cl
@@ -79,7 +85,7 @@ def composite_tiles_jax(
             jnp.zeros((TILE_H, TILE_W), cols.dtype),
         )
         (rgb, trans, dacc), _ = jax.lax.scan(
-            step, init, (means, conics, cols, ops, deps)
+            step, init, (means, conics, cols, ops, deps, rads)
         )
         return rgb, trans, dacc
 
@@ -91,6 +97,7 @@ def composite_tiles_jax(
         g_color,
         g_op,
         g_depth,
+        g_rad,
     )
     # [T, TH, TW, C] -> [H_pad, W_pad, C] -> crop
     rgb = rgb.reshape(nty, ntx, TILE_H, TILE_W, c)

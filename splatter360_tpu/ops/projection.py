@@ -160,9 +160,13 @@ def project_erp(
     )
     j = jnp.stack([du, dv], axis=-2)  # [N, 2, 3]
     cov2d = _cov2d_from_jacobian(j, rot, covs)
-    # Radius cap: half the image height bounds pole blow-up while still letting
-    # nearby splats cover a large solid angle.
-    return _finalize(mean2d, cov2d, r, valid, eps2d, max_radius=float(h // 2))
+    # Radius cap: (a) half the image height bounds pole blow-up; (b) W/2 - 65 keeps a
+    # splat's footprint within half the azimuth range minus a tile width, which lets
+    # the tiled compositor evaluate the seam-wrapped quadratic exactly with a single
+    # per-tile re-centering shift (ops/pallas/composite.py). Applied identically in
+    # every backend so dense/jax/pallas stay bit-comparable.
+    max_radius = float(min(h // 2, max(w // 2 - 65, 8)))
+    return _finalize(mean2d, cov2d, r, valid, eps2d, max_radius=max_radius)
 
 
 def sh_colors(

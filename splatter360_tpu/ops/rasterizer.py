@@ -75,6 +75,7 @@ def render_tiled(
             colors,
             opacities,
             proj.depth,
+            proj.radius,
             image_shape,
             background,
             wrap_x,
@@ -90,6 +91,7 @@ def render_tiled(
             colors,
             opacities,
             proj.depth,
+            proj.radius,
             image_shape,
             background,
             wrap_x,

@@ -66,19 +66,26 @@ def composite_dense(
     col = colors[order]
     op = jnp.where(proj.valid, opacities, 0.0)[order]
     dep = proj.depth[order]
+    rad = proj.radius[order]
 
     xx, yy = _pixel_grid(h, w, mean2d.dtype)
 
     def step(carry, g):
         rgb, trans, dacc = carry
-        m, cn, c, o, d = g
+        m, cn, c, o, d, r = g
         dx = xx - m[0]
         if wrap_x:
             dx = dx - w * jnp.round(dx / w)
         dy = yy - m[1]
         power = -0.5 * (cn[0] * dx * dx + cn[2] * dy * dy) - cn[1] * dx * dy
         alpha = jnp.minimum(0.99, o * jnp.exp(power))
-        alpha = jnp.where((power <= 0.0) & (alpha >= 1.0 / 255.0), alpha, 0.0)
+        # Hard window at the binning radius: identical semantics to the tiled path
+        # (which only composites tiles overlapping the 3-sigma box).
+        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+        alpha = jnp.where(
+            inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
+            alpha, 0.0
+        )
         # CUDA early-termination parity: the Gaussian that would push T below 1e-4
         # is skipped and T freezes (all later ones then fail this test too).
         alpha = jnp.where(trans * (1.0 - alpha) >= 1e-4, alpha, 0.0)
@@ -93,7 +100,9 @@ def composite_dense(
         jnp.ones((h, w), col.dtype),
         jnp.zeros((h, w), col.dtype),
     )
-    (rgb, trans, dacc), _ = jax.lax.scan(step, init, (mean2d, conic, col, op, dep))
+    (rgb, trans, dacc), _ = jax.lax.scan(
+        step, init, (mean2d, conic, col, op, dep, rad)
+    )
     rgb = rgb + trans[..., None] * background
     if return_depth:
         return rgb, trans, dacc

@@ -63,8 +63,10 @@ def assign_tiles(
         tx1 = jnp.clip(tx1, 0, ntx - 1)
     ty0 = jnp.clip(ty0, 0, nty - 1)
     ty1 = jnp.clip(ty1, 0, nty - 1)
-    span_x = jnp.minimum(tx1 - tx0 + 1, SPAN_W)
-    span_y = jnp.minimum(ty1 - ty0 + 1, SPAN_H)
+    # Clamp spans to the grid size: with azimuth wrap a span covering >= ntx tiles
+    # would otherwise emit duplicate instances into the same (modulo) tile.
+    span_x = jnp.minimum(jnp.minimum(tx1 - tx0 + 1, SPAN_W), ntx)
+    span_y = jnp.minimum(jnp.minimum(ty1 - ty0 + 1, SPAN_H), nty)
 
     # Enumerate the (SPAN_H, SPAN_W) static rectangle of candidate tiles per Gaussian.
     sx = jnp.arange(SPAN_W, dtype=jnp.int32)

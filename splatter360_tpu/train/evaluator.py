@@ -1,0 +1,181 @@
+"""Test/eval harness (SURVEY.md §2.7 test_step/on_test_end parity).
+
+Per scene: timed encoder + decoder, PSNR/SSIM/LPIPS over rendered target views,
+masked depth metrics (top cube face excluded in cube mode, mask depth > 0.1 m),
+image artifacts, stitched ERP output, optional interpolated-trajectory video; then
+scores_all_avg.json + per-metric score json + benchmark.json + peak_memory.json
+(model_wrapper_erp.py:319-586).
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import SceneDataset, batch_examples
+from ..geometry.cubemap import erp_to_cube
+from ..geometry.transforms import interpolate_pose_6d
+from ..models.decoder import render_cube_views, render_erp_views
+from ..train.state import _context_cubes
+from ..utils.benchmarker import Benchmarker
+from ..utils.image_io import hcat, save_image, save_video
+from .metrics import compute_depth_metrics, compute_psnr, compute_ssim
+
+
+class Evaluator:
+    def __init__(self, cfg, state, lpips_fn=None):
+        self.cfg = cfg
+        self.state = state
+        self.lpips_fn = lpips_fn
+        self.benchmarker = Benchmarker()
+        self.out = Path(cfg.test.output_path)
+        self.out.mkdir(parents=True, exist_ok=True)
+
+        enc_cfg = cfg.model
+
+        @jax.jit
+        def encode(params, image_sphere, image_cubes, extr, near, far):
+            return state.apply_fn(
+                params, image_sphere, image_cubes, extr, near, far, 10**9
+            )
+
+        self._encode = encode
+        h = cfg.dataset.image_shape[0]
+        self.face = h // 2
+
+        @partial(jax.jit, static_argnames=("render_depth",))
+        def decode_erp(gaussians, extr, near, far, render_depth=False):
+            return render_erp_views(
+                gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
+                render_depth=render_depth, backend=cfg.train.render_backend,
+            )
+
+        self._decode_erp = decode_erp
+
+    def run(self, split: str = "test"):
+        cfg = self.cfg
+        dataset = SceneDataset(cfg.dataset, split=split, stage="test")
+        scores: dict = {}
+        n_steps = 0
+        for ex in dataset:
+            scene = ex["scene"]
+            batch = batch_examples([ex])
+            ctx = jax.tree_util.tree_map(
+                jnp.asarray, {k: v for k, v in batch["context"].items()}
+            )
+            tgt = jax.tree_util.tree_map(
+                jnp.asarray, {k: v for k, v in batch["target"].items()}
+            )
+            cubes = _context_cubes(ctx["image_sphere"], self.face)
+
+            with self.benchmarker.time("encoder"):
+                gaussians, pred_depth = self._encode(
+                    self.state.params, ctx["image_sphere"], cubes,
+                    ctx["extrinsics_sphere"], ctx["near"], ctx["far"],
+                )
+                jax.block_until_ready(gaussians.means)
+
+            v_t = tgt["image_sphere"].shape[1]
+            with self.benchmarker.time("decoder", num_calls=v_t):
+                out = self._decode_erp(
+                    gaussians, tgt["extrinsics_sphere"], tgt["near"],
+                    tgt["far"], render_depth=cfg.test.eval_depth,
+                )
+                jax.block_until_ready(out.color)
+
+            pred = np.asarray(out.color[0])       # [Vt, H, W, 3]
+            gt = np.asarray(tgt["image_sphere"][0])
+            psnr = np.asarray(compute_psnr(jnp.asarray(gt), jnp.asarray(pred)))
+            ssim = np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pred)))
+            entry = {
+                "psnr": float(psnr.mean()),
+                "ssim": float(ssim.mean()),
+            }
+            if self.lpips_fn is not None:
+                entry["lpips"] = float(
+                    np.mean(np.asarray(self.lpips_fn(pred, gt)))
+                )
+            if cfg.test.eval_depth and out.depth is not None:
+                gt_d = np.asarray(tgt["depth_sphere"][0])
+                pr_d = np.asarray(out.depth[0]) / np.maximum(
+                    np.asarray(out.alpha[0]), 1e-6
+                )
+                mask = gt_d > 0.1
+                dm = compute_depth_metrics(
+                    jnp.asarray(gt_d), jnp.asarray(pr_d), jnp.asarray(mask)
+                )
+                entry.update({f"depth_{k}": float(v) for k, v in dm.items()})
+            scores[scene] = entry
+
+            if cfg.test.save_image:
+                for vi in range(pred.shape[0]):
+                    save_image(
+                        pred[vi], self.out / scene / f"color/{vi:04d}.png"
+                    )
+                    save_image(
+                        gt[vi], self.out / scene / f"gt/{vi:04d}.png"
+                    )
+                save_image(
+                    hcat(pred[0], gt[0]),
+                    self.out / scene / "compare.png",
+                )
+            if cfg.test.save_video:
+                try:
+                    self.render_video(
+                        gaussians, ctx["extrinsics_sphere"][0],
+                        float(tgt["near"][0, 0]), float(tgt["far"][0, 0]),
+                        self.out / scene / "interpolation.mp4",
+                    )
+                except Exception as e:  # video export must not abort scoring
+                    print(f"warning: video export failed for {scene}: {e}")
+            n_steps += 1
+
+        self.finalize(scores, skip=cfg.test.eval_time_skip_steps)
+        return scores
+
+    def render_video(self, gaussians, ctx_extr, near, far, path, n_frames=60):
+        """Interpolated-trajectory video between the two context poses
+        (render_video_interpolation parity, model_wrapper_erp.py:726-742)."""
+        ts = np.linspace(0, 1, n_frames)
+        frames = []
+        for t in ts:
+            pose = interpolate_pose_6d(ctx_extr[0], ctx_extr[-1], float(t))
+            out = self._decode_erp(
+                gaussians,
+                pose[None, None],
+                jnp.full((1, 1), near),
+                jnp.full((1, 1), far),
+            )
+            frames.append(np.asarray(out.color[0, 0]))
+        save_video(frames, path)
+
+    def finalize(self, scores: dict, skip: int = 0):
+        out = self.out
+        if not scores:
+            return
+        keys = sorted(next(iter(scores.values())).keys())
+        avg = {
+            k: float(np.mean([s[k] for s in scores.values() if k in s]))
+            for k in keys
+        }
+        (out / "scores_all_avg.json").write_text(json.dumps(avg, indent=2))
+        for k in keys:
+            (out / f"scores_{k}_all.json").write_text(
+                json.dumps({s: v.get(k) for s, v in scores.items()}, indent=2)
+            )
+        # timing: skip warm-up steps (eval_time_skip_steps parity)
+        bench = {}
+        for tag, times in self.benchmarker.execution_times.items():
+            t = times[skip:] if len(times) > skip else times
+            bench[tag] = {
+                "mean_s": float(np.mean(t)) if t else None,
+                "count": len(times),
+            }
+        (out / "benchmark.json").write_text(json.dumps(bench, indent=2))
+        self.benchmarker.dump_memory(out / "peak_memory.json")
+        print("scores_all_avg:", avg)

@@ -6,7 +6,9 @@ virtual CPU mesh; real-TPU benchmarks run separately via bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment points JAX at the (single, shared) TPU tunnel
+# (JAX_PLATFORMS=axon); unit tests must run on the virtual CPU mesh instead.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,224 @@
+"""Unit tests for config/metrics/losses/samplers/io/checkpoint components."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_config_roundtrip(tmp_path):
+    from splatter360_tpu.config import RootConfig, load_config
+
+    cfg = load_config(None, ["mode=test", "model.d_feature=64",
+                             "train.optimizer.lr=1e-3",
+                             "dataset.image_shape=[64,128]"])
+    assert cfg.mode == "test"
+    assert cfg.model.d_feature == 64
+    assert cfg.train.optimizer.lr == pytest.approx(1e-3)
+    assert tuple(cfg.dataset.image_shape) == (64, 128)
+
+    yaml_path = tmp_path / "c.yaml"
+    yaml_path.write_text("mode: train\nmodel:\n  num_depth_candidates: 32\n")
+    cfg2 = load_config(str(yaml_path), ["trainer.max_steps=5"])
+    assert cfg2.model.num_depth_candidates == 32
+    assert cfg2.trainer.max_steps == 5
+
+    with pytest.raises(KeyError):
+        load_config(None, ["model.not_a_key=1"])
+
+
+def test_psnr_known_value():
+    from splatter360_tpu.train.metrics import compute_psnr
+
+    gt = jnp.zeros((1, 8, 8, 3))
+    pred = jnp.full((1, 8, 8, 3), 0.1)
+    psnr = float(compute_psnr(gt, pred)[0])
+    assert psnr == pytest.approx(20.0, abs=1e-3)  # mse = 0.01
+    assert float(compute_psnr(gt, gt)[0]) == pytest.approx(100.0, abs=1.0)
+
+
+def test_ssim_identity_and_noise():
+    from splatter360_tpu.train.metrics import compute_ssim
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    s_same = float(compute_ssim(jnp.asarray(img), jnp.asarray(img))[0])
+    assert s_same == pytest.approx(1.0, abs=1e-5)
+    noisy = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1).astype(np.float32)
+    s_noisy = float(compute_ssim(jnp.asarray(img), jnp.asarray(noisy))[0])
+    assert 0.0 < s_noisy < 0.9
+
+
+def test_depth_metrics_perfect():
+    from splatter360_tpu.train.metrics import compute_depth_metrics
+
+    d = jnp.ones((4, 4)) * 2.0
+    m = compute_depth_metrics(d, d, jnp.ones((4, 4), bool))
+    assert float(m["abs_rel"]) == 0.0
+    assert float(m["a25"]) == pytest.approx(100.0)
+
+
+def test_sin_weighted_depth_l1():
+    from splatter360_tpu.train.losses import sin_weighted_depth_l1
+
+    gt = jnp.full((1, 1, 16, 32), 2.0)
+    pred = jnp.full((1, 1, 16, 32), 2.5)
+    far = jnp.full((1, 1), 10.0)
+    loss = float(sin_weighted_depth_l1(pred, gt, far))
+    assert loss == pytest.approx(0.5, abs=1e-5)
+    # holes (gt=0) masked out -> zero-weight rows don't contribute
+    gt_holes = gt.at[..., :8].set(0.0)
+    loss2 = float(sin_weighted_depth_l1(pred, gt_holes, far))
+    assert np.isfinite(loss2)
+
+
+def test_bounded_sampler_curriculum():
+    from splatter360_tpu.data.view_sampler import (
+        BoundedSamplerConfig, ViewSamplerBounded,
+    )
+
+    cfg = BoundedSamplerConfig(
+        num_context_views=2, num_target_views=3,
+        min_distance_between_context_views=10,
+        max_distance_between_context_views=40,
+        warm_up_steps=100,
+        initial_min_distance_between_context_views=2,
+        initial_max_distance_between_context_views=5,
+    )
+    s = ViewSamplerBounded(cfg)
+    rng = np.random.default_rng(0)
+    for step, lo, hi in ((0, 1, 5), (100, 10, 40)):
+        for _ in range(20):
+            ctx, tgt = s.sample(200, rng, global_step=step)
+            gap = ctx[-1] - ctx[0]
+            assert lo <= gap <= hi
+            assert (tgt >= ctx[0]).all() and (tgt <= ctx[-1]).all()
+            assert len(set(tgt.tolist())) == len(tgt)
+    s_test = ViewSamplerBounded(cfg, stage="test")
+    ctx, tgt = s_test.sample(200, rng)
+    assert ctx[0] == 0 and ctx[-1] == 40
+
+
+def test_evaluation_sampler(tmp_path):
+    from splatter360_tpu.data.view_sampler import ViewSamplerEvaluation
+
+    idx = {"scene_a": {"context": [40, 140], "target": [50, 90]}}
+    p = tmp_path / "idx.json"
+    p.write_text(json.dumps(idx))
+    s = ViewSamplerEvaluation(str(p))
+    ctx, tgt = s.sample("scene_a")
+    assert ctx.tolist() == [40, 140]
+    assert s.sample("missing") is None
+
+
+def test_scene_io_roundtrip(tmp_path):
+    from splatter360_tpu.data.scene_io import save_scene, load_scene, list_scenes
+
+    rgb = np.random.default_rng(0).integers(0, 255, (4, 8, 16, 3), np.uint8)
+    depth = np.random.default_rng(1).integers(0, 5000, (4, 8, 16)).astype(np.uint16)
+    poses = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    save_scene(tmp_path, "train", "s0", rgb, depth, poses)
+    assert list_scenes(tmp_path, "train") == ["s0"]
+    data = load_scene(tmp_path, "train", "s0")
+    np.testing.assert_array_equal(data["rgb"], rgb)
+    np.testing.assert_allclose(data["depth_m"], depth / 1000.0, rtol=1e-6)
+
+
+def test_index_generator(tmp_path):
+    from splatter360_tpu.data.scene_io import save_scene
+    from splatter360_tpu.evaluation.index_generator import (
+        IndexGeneratorConfig, generate_index,
+    )
+
+    rgb = np.zeros((60, 4, 8, 3), np.uint8)
+    depth = np.zeros((60, 4, 8), np.uint16)
+    poses = np.tile(np.eye(4, dtype=np.float32), (60, 1, 1))
+    save_scene(tmp_path, "test", "sc", rgb, depth, poses)
+    idx = generate_index(
+        [str(tmp_path)], "test", str(tmp_path / "idx.json"),
+        IndexGeneratorConfig(context_start=10, frame_interval=30,
+                             num_target_views=3),
+    )
+    assert idx["sc"]["context"] == [10, 40]
+    assert len(idx["sc"]["target"]) == 3
+    assert all(10 < t < 40 for t in idx["sc"]["target"])
+
+
+def test_ply_export(tmp_path):
+    from splatter360_tpu.utils.ply_export import export_ply
+
+    n = 5
+    export_ply(
+        np.zeros((n, 3)), np.ones((n, 3)) * 0.1,
+        np.tile([0, 0, 0, 1.0], (n, 1)), np.zeros((n, 3, 25)),
+        np.full((n,), 0.5), tmp_path / "g.ply",
+    )
+    raw = (tmp_path / "g.ply").read_bytes()
+    assert raw.startswith(b"ply\n")
+    header_end = raw.index(b"end_header\n") + len(b"end_header\n")
+    assert len(raw) - header_end == n * 17 * 4  # 17 float properties
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+    from flax import struct
+
+    from splatter360_tpu.train import checkpoint as ckpt
+    from splatter360_tpu.train.state import TrainState
+
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros((3,))}}
+    tx = optax.adam(1e-3)
+    state = TrainState(
+        step=jnp.asarray(7), params=params, opt_state=tx.init(params), tx=tx,
+    )
+    ckpt.save_checkpoint(str(tmp_path / "ck"), 7, state)
+    assert ckpt.latest_step(str(tmp_path / "ck")) == 7
+
+    fresh = TrainState(
+        step=jnp.asarray(0),
+        params=jax.tree_util.tree_map(jnp.zeros_like, params),
+        opt_state=tx.init(params), tx=tx,
+    )
+    restored, ok = ckpt.restore_checkpoint(str(tmp_path / "ck"), fresh)
+    assert ok and int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["dense"]["kernel"]), np.ones((3, 3))
+    )
+    wo, ok = ckpt.restore_weights_only(str(tmp_path / "ck"), fresh)
+    assert ok and int(wo.step) == 0
+
+
+def test_partial_warm_start():
+    from splatter360_tpu.train.checkpoint import partial_warm_start
+
+    params = {"a": jnp.zeros((2, 2)), "b": jnp.zeros((3,)), "c": jnp.zeros((4,))}
+    donor = {"a": jnp.ones((2, 2)), "b": jnp.ones((5,)), "d": jnp.ones((1,))}
+    merged = partial_warm_start(params, {"a": donor["a"], "b": donor["b"],
+                                          "c": jnp.ones((4,))})
+    np.testing.assert_array_equal(np.asarray(merged["a"]), 1.0)  # shape match
+    np.testing.assert_array_equal(np.asarray(merged["b"]), 0.0)  # shape mismatch
+    np.testing.assert_array_equal(np.asarray(merged["c"]), 1.0)
+
+
+def test_lpips_shapes_and_identity():
+    from splatter360_tpu.train.lpips_jax import LPIPS
+
+    lpips = LPIPS()
+    x = jnp.linspace(0, 1, 1 * 32 * 32 * 3).reshape(1, 32, 32, 3)
+    params = lpips.init(jax.random.PRNGKey(0), x, x)
+    d_same = lpips.apply(params, x, x)
+    assert d_same.shape == (1,)
+    assert float(d_same[0]) == pytest.approx(0.0, abs=1e-6)
+    y = jnp.flip(x, axis=2)
+    assert float(lpips.apply(params, x, y)[0]) > 0.0
+
+
+def test_pose_video_interpolation_chain():
+    from splatter360_tpu.geometry import interpolate_pose_6d
+
+    a = jnp.eye(4)
+    b = jnp.eye(4).at[:3, 3].set(jnp.array([2.0, 0.0, 0.0]))
+    mid = interpolate_pose_6d(a, b, 0.5)
+    np.testing.assert_allclose(np.asarray(mid[:3, 3]), [1.0, 0.0, 0.0], atol=1e-6)
