@@ -72,11 +72,12 @@ def composite_tiles_jax(
                 inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
                 alpha, 0.0
             )
-            alpha = jnp.where(trans * (1.0 - alpha) >= 1e-4, alpha, 0.0)
-            weight = alpha * trans
+            # unmasked T decay + post-decay contribution gate (see rasterizer_ref)
+            trans_new = trans * (1.0 - alpha)
+            weight = jnp.where(trans_new >= 1e-4, alpha * trans, 0.0)
             rgb = rgb + weight[..., None] * cl
             dacc = dacc + weight * d
-            trans = trans * (1.0 - alpha)
+            trans = trans_new
             return (rgb, trans, dacc), None
 
         init = (

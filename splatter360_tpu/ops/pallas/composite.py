@@ -1,36 +1,46 @@
 """Pallas TPU tile-compositing kernel with custom VJP — the production hot loop.
 
 TPU-native replacement for the CUDA forward/backward compositing kernels of
-diff-gaussian-rasterization-modified (SURVEY.md §2.9). Layout is [chunk, pixels]:
+diff-gaussian-rasterization-modified (SURVEY.md §2.9).
 
-  forward, per CHUNK-instance slice of a tile's depth-sorted segment:
-    dx, dy  = pixel deltas (broadcast [CHUNK, N_PIX], VPU — evaluated directly from
-              (x - u) to avoid the f32 cancellation an expanded-quadratic matmul form
-              suffers at large pixel coordinates)
-    power   = -0.5(a dx^2 + c dy^2) - b dx dy       (VPU)
+Orientation is pixels-major [N_PIX, CHUNK] (pixels on sublanes, instances on lanes):
+per-instance scalars arrive as natural [1, CHUNK] rows of the packed instance blocks,
+pixel coords are [N_PIX, 1] iota columns, and no per-chunk transposes exist. Per chunk:
+
+    dx, dy  = pixel deltas (broadcast [N_PIX, CHUNK], VPU — direct (x - u) form
+              avoids the f32 cancellation of an expanded-quadratic matmul)
+    power   = -0.5(a dx^2 + c dy^2) - b dx dy
     alpha   = gate(opacity * exp(power))            (gates mirror composite_jax)
     L       = log1p(-alpha)
-    E       = M_strict_lower @ L                    (exclusive log-prefix = in-chunk
-                                                     transmittance, MXU)
+    E       = L @ M_strict_upper                    (exclusive log-prefix over the
+                                                     chunk = transmittance, MXU)
     T_i     = T_carry * exp(E); w = alpha * T_i     (front-to-back weights)
-    acc    += CD^T[8, CHUNK] @ w                    (r g b depth accumulation, MXU)
-    T_carry *= exp(colsum(masked L))
-  with early chunk exit once max(T) < 1e-4.
+    acc    += w . CD (contract over chunk)          (r g b depth accumulation, MXU)
+    T_carry *= exp(rowsum(masked L))
+One [N_PIX, 8] -> [8, N_PIX] transpose per tile writes the output planes.
 
-  backward re-walks chunks in reverse, recomputing alpha/E and carrying suffix
-  accumulators (log-T suffix + psi suffix); per-instance gradients are direct
-  derivatives of the power form (VPU row-reductions) plus MXU matmuls for the
-  color/gamma terms — mirroring the CUDA backward's math. They are scatter-added into
-  per-Gaussian gradients outside by the autograd transpose of the instance gather
-  (ops/rasterizer.py).
+The backward re-walks chunks in reverse, recomputing alpha/E and carrying suffix
+accumulators; per-instance gradients are direct derivatives of the power form
+(sublane reductions) plus MXU matmuls for the color/gamma terms — mirroring the CUDA
+backward's math. They scatter-add into per-Gaussian gradients outside via the
+autograd transpose of the instance gather.
 
-Equirect azimuth wrap: each instance's mean u is re-centered to the tile center
-modulo W, exact because project_erp caps radii at W/2 - TILE_W/2 - 1.
+Memory layout (tuned around TPU per-index costs — see ops/tiling.py): instances are
+packed once per frame with a SINGLE row gather (attrs[N, 16] -> rows[K, 16]) into
+contiguous [NBLK, ROWS, CHUNK] blocks. Tile segments stay UNALIGNED; the kernels walk
+whole 128-instance blocks with per-lane segment masks (boundary blocks are shared by
+adjacent tiles — harmless on the read side). The backward writes each tile's
+per-block gradients into tile-OWNED output blocks (offsets from a tiny cumsum), so
+there are no write conflicts; a host-side gather maps them back to instance order.
+Input DMAs are double-buffered; gradient write-backs are pipelined one chunk behind.
+Equirect azimuth wrap: instance means re-centered to the tile center modulo W
+(exact: project_erp caps radii at W/2 - TILE_W/2 - 1).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -46,6 +56,14 @@ ROWS = 16  # packed instance rows: u v a b c o cr cg cb depth radius pad...
 _NEG_CUTOFF = -4.5
 _ALPHA_MIN = 1.0 / 255.0
 _T_EPS = 1e-4
+_LOG_T_EPS = -9.21034  # log(1e-4)
+
+# Experiment knobs (read at import; used by bench sweeps).
+_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "highest": jax.lax.Precision.HIGHEST,
+}[os.environ.get("SPLAT360_KERNEL_PRECISION", "highest")]
+_EARLY_EXIT = os.environ.get("SPLAT360_KERNEL_EARLY_EXIT", "1") == "1"
 
 
 def _tile_origin(tid, ntx):
@@ -54,18 +72,12 @@ def _tile_origin(tid, ntx):
     return (tx * TILE_W).astype(jnp.float32), (ty * TILE_H).astype(jnp.float32)
 
 
-def _pixel_xy(x0, y0):
-    """Absolute pixel coords of the tile as [1, N_PIX] rows."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
+def _pixel_cols(x0, y0):
+    """Pixel coords of the tile as [N_PIX, 1] columns."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
     px = (p % TILE_W).astype(jnp.float32) + x0
     py = (p // TILE_W).astype(jnp.float32) + y0
     return px, py
-
-
-def _strict_lower(dtype):
-    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (c < r).astype(dtype)
 
 
 def _strict_upper(dtype):
@@ -74,24 +86,41 @@ def _strict_upper(dtype):
     return (c > r).astype(dtype)
 
 
-def _chunk_alpha(data, px, py, w_img, wrap_x):
-    """Shared forward recomputation: per-instance alpha maps for one chunk.
+def _strict_lower(dtype):
+    r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (c < r).astype(dtype)
 
-    data: [CHUNK, ROWS]; px, py: [1, N_PIX] absolute pixel coords.
-    Returns (alpha, dx, dy, a, b, c, o) with alpha/dx/dy [CHUNK, N_PIX].
+
+def _contract(a, b, axes):
+    # HIGHEST: full-f32 MXU passes — the log-prefix sums and color accumulation
+    # need f32 mantissas (default bf16 passes cost ~4e-3 relative error).
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(axes, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION,
+    )
+
+
+def _chunk_alpha(data, px, py, w_img, wrap_x):
+    """Per-instance alpha maps for one chunk (pixels-major).
+
+    data: [ROWS, CHUNK]; px, py: [N_PIX, 1].
+    Returns (alpha, dx, dy, a, b, c, o) — alpha/dx/dy [N_PIX, CHUNK],
+    scalars [1, CHUNK].
     """
-    u = data[:, 0:1]
-    v = data[:, 1:2]
-    a = data[:, 2:3]
-    b = data[:, 3:4]
-    c = data[:, 4:5]
-    o = data[:, 5:6]
-    rad = data[:, 10:11]
+    u = data[0:1, :]
+    v = data[1:2, :]
+    a = data[2:3, :]
+    b = data[3:4, :]
+    c = data[4:5, :]
+    o = data[5:6, :]
+    rad = data[10:11, :]
     if wrap_x:
         xc = px[0, 0] + TILE_W * 0.5
         u = u + w_img * jnp.round((xc - u) / w_img)
 
-    dx = px - u   # [CHUNK, N_PIX]
+    dx = px - u   # [N_PIX, CHUNK]
     dy = py - v
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     alpha = o * jnp.exp(power)
@@ -106,178 +135,208 @@ def _chunk_alpha(data, px, py, w_img, wrap_x):
     return alpha, dx, dy, a, b, c, o
 
 
+def _segment_mask(blk0, j, start, count):
+    """Boolean [1, CHUNK]: lanes of block blk0+j inside [start, start+count)."""
+    g = (blk0 + j) * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return (g >= start) & (g < start + count)
+
+
 def _forward_kernel(
-    starts_ref, counts_ref,  # scalar prefetch [T]
-    inst_ref,                # HBM [K_pad, ROWS]
+    starts_ref, counts_ref,  # scalar prefetch [T] (unaligned segment offsets)
+    inst_ref,                # HBM [NBLK, ROWS, CHUNK]
     acc_ref,                 # out [8, N_PIX] per tile: r g b depth T 0 0 0
-    data_vmem, dma_sem,      # scratch
+    bufs, racc, tacc, sems,
     *, ntx, w_img, wrap_x,
 ):
     tid = pl.program_id(0)
     x0, y0 = _tile_origin(tid, ntx)
-    px, py = _pixel_xy(x0, y0)
+    px, py = _pixel_cols(x0, y0)
 
     start = starts_ref[tid]
     count = counts_ref[tid]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    blk0 = start // CHUNK
+    n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
 
-    acc_ref[:] = jnp.zeros((8, N_PIX), jnp.float32)
-    acc_ref[4:5, :] = jnp.ones((1, N_PIX), jnp.float32)  # T plane
+    racc[:] = jnp.zeros((N_PIX, 8), jnp.float32)
+    tacc[:] = jnp.ones((N_PIX, 1), jnp.float32)
 
-    mlow = _strict_lower(jnp.float32)
+    mup = _strict_upper(jnp.float32)
 
-    def body(i, _):
-        t_row = acc_ref[4:5, :]
+    def in_copy(slot, j):
+        return pltpu.make_async_copy(
+            inst_ref.at[blk0 + j], bufs.at[slot], sems.at[slot]
+        )
 
-        @pl.when(jnp.max(t_row) >= _T_EPS)
+    @pl.when(n_blocks > 0)
+    def _():
+        in_copy(0, 0).start()
+
+    def body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_blocks)
         def _():
-            offset = start + i * CHUNK
-            copy = pltpu.make_async_copy(
-                inst_ref.at[pl.ds(offset, CHUNK), :], data_vmem, dma_sem
-            )
-            copy.start()
-            copy.wait()
-            data = data_vmem[:]
-            slot = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + i * CHUNK
-            data = jnp.where(slot < count, data, 0.0)
+            in_copy(1 - slot, j + 1).start()
+
+        in_copy(slot, j).wait()
+
+        @pl.when(jnp.max(tacc[:]) >= _T_EPS if _EARLY_EXIT else j >= 0)
+        def _():
+            data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
 
             alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
             lg = jnp.log1p(-alpha)
-            e = jnp.dot(mlow, lg, preferred_element_type=jnp.float32)
-            t_in = acc_ref[4:5, :]
+            e = _contract(lg, mup, ((1,), (0,)))  # exclusive prefix over chunk
+            t_in = tacc[:]
             t_i = t_in * jnp.exp(e)
-            contrib = t_i * (1.0 - alpha) >= _T_EPS
-            w = jnp.where(contrib, alpha * t_i, 0.0)
-            lg_m = jnp.where(contrib, lg, 0.0)
+            # unmasked T decay + post-decay contribution gate (see rasterizer_ref)
+            w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
 
-            # accumulate r g b depth via one [8, CHUNK] @ [CHUNK, N_PIX] matmul
-            cd = jnp.concatenate(
-                [
-                    data[:, 6:7], data[:, 7:8], data[:, 8:9], data[:, 9:10],
-                    jnp.zeros((CHUNK, 4), jnp.float32),
-                ],
-                axis=1,
-            )  # [CHUNK, 8]
-            acc_ref[:] = acc_ref[:] + jnp.dot(
-                cd.T, w, preferred_element_type=jnp.float32
-            )
-            # cd column 4 is zero, so nothing was added to the T plane above;
-            # multiply it by the chunk's (masked) survival instead.
-            acc_ref[4:5, :] = t_in * jnp.exp(
-                jnp.sum(lg_m, axis=0, keepdims=True)
-            )
+            cd = data[6:10, :]  # [4, CHUNK]: r g b depth
+            racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
+            tacc[:] = t_in * jnp.exp(jnp.sum(lg, axis=1, keepdims=True))
 
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, body, 0)
+    jax.lax.fori_loop(0, n_blocks, body, 0)
+
+    planes = jnp.concatenate(
+        [racc[:, 0:4], tacc[:], jnp.zeros((N_PIX, 3), jnp.float32)], axis=1
+    )
+    acc_ref[:] = planes.T  # one [N_PIX, 8] -> [8, N_PIX] transpose per tile
 
 
 def _backward_kernel(
-    starts_ref, counts_ref,
-    inst_ref,                # HBM [K_pad, ROWS]
-    tfin_ref,                # [1, N_PIX] final transmittance for this tile
-    gacc_ref,                # [8, N_PIX] upstream grads: gr gg gb gdepth gT 0 0 0
-    dinst_ref,               # out HBM [K_pad, ROWS]
-    data_vmem, grad_vmem, dma_sem, out_sem,
+    starts_ref, counts_ref, obase_ref,
+    inst_ref,                # HBM [NBLK, ROWS, CHUNK]
+    gacc_ref,                # [8, N_PIX]: gr gg gb gdepth gT T_final 0 0
+    dout_ref,                # out HBM [NBLK_OUT, ROWS, CHUNK] tile-owned blocks
+    bufs, grad_bufs, psum_scratch, sems, out_sems,
     *, ntx, w_img, wrap_x,
 ):
     tid = pl.program_id(0)
     x0, y0 = _tile_origin(tid, ntx)
-    px, py = _pixel_xy(x0, y0)
+    px, py = _pixel_cols(x0, y0)
 
     start = starts_ref[tid]
     count = counts_ref[tid]
-    n_chunks = (count + CHUNK - 1) // CHUNK
+    obase = obase_ref[tid]
+    blk0 = start // CHUNK
+    n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
 
-    mlow = _strict_lower(jnp.float32)
     mup = _strict_upper(jnp.float32)
+    mlow = _strict_lower(jnp.float32)
 
-    t_final = tfin_ref[:]         # [1, N_PIX]
-    g_rgbd = gacc_ref[0:4, :]     # [4, N_PIX]
-    g_t = gacc_ref[4:5, :]        # [1, N_PIX] dL/dT_final
+    t_final = gacc_ref[5:6, :].T     # [N_PIX, 1]
+    g_rgbd = gacc_ref[0:4, :]        # [4, N_PIX]
+    gt_term = (gacc_ref[4:5, :] * gacc_ref[5:6, :]).T  # [N_PIX, 1] g_T * T_final
 
-    def body(ri, carry):
-        log_t_suffix, a_psi = carry
-        i = n_chunks - 1 - ri
-        offset = start + i * CHUNK
-        copy = pltpu.make_async_copy(
-            inst_ref.at[pl.ds(offset, CHUNK), :], data_vmem, dma_sem
+    def in_copy(slot, j):
+        return pltpu.make_async_copy(
+            inst_ref.at[blk0 + j], bufs.at[slot], sems.at[slot]
         )
-        copy.start()
-        copy.wait()
-        data = data_vmem[:]
-        slot = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0) + i * CHUNK
-        data = jnp.where(slot < count, data, 0.0)
+
+    def out_copy(slot, j):
+        return pltpu.make_async_copy(
+            grad_bufs.at[slot], dout_ref.at[obase + j], out_sems.at[slot]
+        )
+
+    @pl.when(n_blocks > 0)
+    def _():
+        in_copy(0, n_blocks - 1).start()
+
+    def body(rj, carry):
+        log_t_suffix, a_psi = carry  # [N_PIX, 1] each
+        j = n_blocks - 1 - rj
+        slot = jax.lax.rem(rj, 2)
+
+        @pl.when(rj + 1 < n_blocks)
+        def _():
+            in_copy(1 - slot, j - 1).start()
+
+        in_copy(slot, j).wait()
+        # wait for the grad write-back that used this slot two chunks ago
+        @pl.when(rj >= 2)
+        def _():
+            out_copy(slot, j + 2).wait()
+
+        data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
 
         alpha, dx, dy, a, b, c, o = _chunk_alpha(data, px, py, w_img, wrap_x)
         lg = jnp.log1p(-alpha)
-        e = jnp.dot(mlow, lg, preferred_element_type=jnp.float32)
-        # Recover T at chunk start: log T_start = log T_end - sum(masked lg). The
-        # contribution mask depends on T (fixed point); two replays converge because
-        # masking only flips once T crosses 1e-4, after which nothing contributes.
+        sum_lg = jnp.sum(lg, axis=1, keepdims=True)
+        # T at block end/start from the full (unmasked) decay — no fixed point.
         log_t_end = jnp.log(jnp.maximum(t_final, 1e-30)) - log_t_suffix
-        log_t_start = log_t_end - jnp.sum(lg, axis=0, keepdims=True)
-        t_i = jnp.exp(log_t_start) * jnp.exp(e)
-        contrib = t_i * (1.0 - alpha) >= _T_EPS
-        lg_m = jnp.where(contrib, lg, 0.0)
-        log_t_start = log_t_end - jnp.sum(lg_m, axis=0, keepdims=True)
-        t_i = jnp.exp(log_t_start) * jnp.exp(e)
-        contrib = t_i * (1.0 - alpha) >= _T_EPS
-        w = jnp.where(contrib, alpha * t_i, 0.0)
-        lg_m = jnp.where(contrib, lg, 0.0)
+        log_t_start = log_t_end - sum_lg
 
-        # gamma_k(px) = c_k . g_rgb + d_k * g_depth -> [CHUNK, N_PIX] (MXU)
-        cd4 = jnp.concatenate(
-            [data[:, 6:7], data[:, 7:8], data[:, 8:9], data[:, 9:10]], axis=1
-        )  # [CHUNK, 4]
-        gamma = jnp.dot(cd4, g_rgbd, preferred_element_type=jnp.float32)
-        psi = w * gamma
-        # suffix_k = sum_{j>k} psi_j within the chunk (strict upper @ psi, MXU)
-        suffix = jnp.dot(mup, psi, preferred_element_type=jnp.float32)
+        psum_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+        grad_bufs[slot] = jnp.zeros((ROWS, CHUNK), jnp.float32)
 
-        g_alpha = t_i * gamma - (suffix + a_psi + g_t * t_final) / (1.0 - alpha)
-        g_alpha = jnp.where(contrib, g_alpha, 0.0)
-        # d alpha / d power = alpha below the 0.99 cap (cap pass-through, as CUDA)
-        g_p = g_alpha * alpha  # [CHUNK, N_PIX]
+        # Skip the gradient math when every pixel was already saturated before
+        # this (deeper) block: t <= t_start < eps => no contributions here.
+        @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
+        def _():
+            e = _contract(lg, mup, ((1,), (0,)))
+            t_i = jnp.exp(log_t_start + e)
+            contrib = t_i * (1.0 - alpha) >= _T_EPS
+            w = jnp.where(contrib, alpha * t_i, 0.0)
 
-        # color/depth grads: dL/dcd_k = sum_px w_k * g_rgbd (MXU)
-        g_cd = jnp.dot(w, g_rgbd.T, preferred_element_type=jnp.float32)
-        # opacity grad: sum_px g_alpha * exp(power) = sum(g_p) / o
-        g_o = jnp.sum(g_p, axis=1, keepdims=True) / jnp.maximum(o, 1e-12)
+            cd = data[6:10, :]  # [4, CHUNK]
+            # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
+            gamma = _contract(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
+            psi = w * gamma
+            # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
+            suffix = _contract(psi, mlow, ((1,), (0,)))
 
-        # direct derivatives of power (exact, no moment cancellation):
-        g_a = jnp.sum(g_p * (-0.5 * dx * dx), axis=1, keepdims=True)
-        g_b = jnp.sum(g_p * (-dx * dy), axis=1, keepdims=True)
-        g_c = jnp.sum(g_p * (-0.5 * dy * dy), axis=1, keepdims=True)
-        g_u = jnp.sum(g_p * (a * dx + b * dy), axis=1, keepdims=True)
-        g_v = jnp.sum(g_p * (c * dy + b * dx), axis=1, keepdims=True)
+            g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
+            g_alpha = jnp.where(contrib, g_alpha, 0.0)
+            # d alpha / d power = alpha below the 0.99 cap (pass-through, as CUDA)
+            g_p = g_alpha * alpha  # [N_PIX, CHUNK]
 
-        grad = jnp.concatenate(
-            [
-                g_u, g_v, g_a, g_b, g_c, g_o,
-                g_cd[:, 0:1], g_cd[:, 1:2], g_cd[:, 2:3], g_cd[:, 3:4],
-                jnp.zeros((CHUNK, ROWS - 10), jnp.float32),
-            ],
-            axis=1,
-        )
-        grad = jnp.where(slot < count, grad, 0.0)
-        grad_vmem[:] = grad
-        out_copy = pltpu.make_async_copy(
-            grad_vmem, dinst_ref.at[pl.ds(offset, CHUNK), :], out_sem
-        )
-        out_copy.start()
-        out_copy.wait()
+            # color/depth grads: dL/dcd[c, k] = sum_p g_rgbd[c, p] w[p, k]  (MXU)
+            g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
+            g_o = jnp.sum(g_p, axis=0, keepdims=True) / jnp.maximum(o, 1e-12)
+
+            # direct derivatives of the power form (exact, sublane reductions)
+            g_a = jnp.sum(g_p * (-0.5 * dx * dx), axis=0, keepdims=True)
+            g_b = jnp.sum(g_p * (-dx * dy), axis=0, keepdims=True)
+            g_c = jnp.sum(g_p * (-0.5 * dy * dy), axis=0, keepdims=True)
+            g_u = jnp.sum(g_p * (a * dx + b * dy), axis=0, keepdims=True)
+            g_v = jnp.sum(g_p * (c * dy + b * dx), axis=0, keepdims=True)
+
+            grad = jnp.concatenate(
+                [
+                    g_u, g_v, g_a, g_b, g_c, g_o, g_cd,
+                    jnp.zeros((ROWS - 10, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )  # [ROWS, CHUNK]
+            grad_bufs[slot] = jnp.where(
+                _segment_mask(blk0, j, start, count), grad, 0.0
+            )
+            psum_scratch[:] = jnp.sum(psi, axis=1, keepdims=True)
+
+        out_copy(slot, j).start()
 
         return (
-            log_t_suffix + jnp.sum(lg_m, axis=0, keepdims=True),
-            a_psi + jnp.sum(psi, axis=0, keepdims=True),
+            log_t_suffix + sum_lg,
+            a_psi + psum_scratch[:],
         )
 
     init = (
-        jnp.zeros((1, N_PIX), jnp.float32),
-        jnp.zeros((1, N_PIX), jnp.float32),
+        jnp.zeros((N_PIX, 1), jnp.float32),
+        jnp.zeros((N_PIX, 1), jnp.float32),
     )
-    jax.lax.fori_loop(0, n_chunks, body, init)
+    jax.lax.fori_loop(0, n_blocks, body, init)
+
+    # drain the last (up to two) in-flight grad write-backs
+    @pl.when(n_blocks >= 1)
+    def _():
+        out_copy(jax.lax.rem(n_blocks - 1, 2), 0).wait()
+
+    @pl.when(n_blocks >= 2)
+    def _():
+        out_copy(jax.lax.rem(n_blocks - 2, 2), 1).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -285,25 +344,55 @@ def _backward_kernel(
 # ---------------------------------------------------------------------------
 
 
-def _pack_instances(assignment, mean2d, conic, colors, opacities, depths, radii):
-    gi = assignment.gaussian_idx
-    k = gi.shape[0]
-    k_pad = k + CHUNK
-    cols = [
-        mean2d[gi, 0], mean2d[gi, 1],
-        conic[gi, 0], conic[gi, 1], conic[gi, 2],
-        opacities[gi],
-        colors[gi, 0], colors[gi, 1], colors[gi, 2],
-        depths[gi],
-        radii[gi],
-    ]
-    data = jnp.stack(cols, axis=-1)  # [K, 11]
-    data = jnp.pad(data, ((0, k_pad - k), (0, ROWS - data.shape[1])))
-    return data
+def _pack_instances(
+    assignment, mean2d, conic, colors, opacities, depths, radii
+):
+    """Pack per-instance attributes as contiguous [NBLK, ROWS, CHUNK].
+
+    One elementwise attrs build + ONE row gather (the per-index cost dominates on
+    TPU, so everything else is arithmetic)."""
+    n = mean2d.shape[0]
+    t_total = assignment.num_tiles_x * assignment.num_tiles_y
+    attrs = jnp.stack(
+        [
+            mean2d[:, 0], mean2d[:, 1],
+            conic[:, 0], conic[:, 1], conic[:, 2],
+            opacities,
+            colors[:, 0], colors[:, 1], colors[:, 2],
+            depths,
+            radii,
+            jnp.zeros((n,), mean2d.dtype),
+            jnp.zeros((n,), mean2d.dtype),
+            jnp.zeros((n,), mean2d.dtype),
+            jnp.zeros((n,), mean2d.dtype),
+            jnp.zeros((n,), mean2d.dtype),
+        ],
+        axis=1,
+    )  # [N, ROWS]
+    rows = attrs[assignment.gaussian_idx]  # [K, ROWS] — the one gather
+    valid = assignment.tile_ids < t_total
+    rows = jnp.where(valid[:, None], rows, 0.0)
+    k = rows.shape[0]
+    nblk = k // CHUNK
+    return rows.reshape(nblk, CHUNK, ROWS).transpose(0, 2, 1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _composite_core(inst, starts, counts, n_tiles_y, n_tiles_x, w_img, wrap_x):
+def _out_block_layout(starts, counts, nblk_in):
+    """Tile-owned output block offsets for the backward.
+
+    Returns (obase [T] int32 block offsets, nblk_out static int)."""
+    t = counts.shape[0]
+    blk0 = starts // CHUNK
+    nblocks = (starts + counts + CHUNK - 1) // CHUNK - blk0
+    obase = jnp.cumsum(nblocks) - nblocks
+    nblk_out = nblk_in + t  # each tile adds at most one straddle block
+    return obase.astype(jnp.int32), nblk_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _composite_core(
+    inst, starts, counts, tile_ids, n_tiles_y, n_tiles_x, w_img, wrap_x
+):
     return _composite_core_fwd_impl(
         inst, starts, counts, n_tiles_y, n_tiles_x, w_img, wrap_x
     )
@@ -322,62 +411,86 @@ def _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x):
             (8, N_PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, ROWS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((N_PIX, 8), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     acc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t * 8, N_PIX), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(starts, counts, inst)
     return acc
 
 
-def _composite_core_fwd(inst, starts, counts, nty, ntx, w_img, wrap_x):
+def _composite_core_fwd(
+    inst, starts, counts, tile_ids, nty, ntx, w_img, wrap_x
+):
     acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
     t = nty * ntx
     t_final = acc.reshape(t, 8, N_PIX)[:, 4, :]  # [T, N_PIX]
-    return acc, (inst, starts, counts, t_final)
+    return acc, (inst, starts, counts, tile_ids, t_final)
 
 
 def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
-    inst, starts, counts, t_final = res
+    inst, starts, counts, tile_ids, t_final = res
     t = nty * ntx
+    nblk_in = inst.shape[0]
+    obase, nblk_out = _out_block_layout(starts, counts, nblk_in)
+
     kernel = functools.partial(
         _backward_kernel, ntx=ntx, w_img=float(w_img), wrap_x=wrap_x
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (1, N_PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
-            ),
             pl.BlockSpec(
                 (8, N_PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, ROWS), jnp.float32),
-            pltpu.VMEM((CHUNK, ROWS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    dinst = pl.pallas_call(
+    # fold T_final into the (otherwise zero) plane 5 of the gradient planes so a
+    # single aligned (8, N_PIX) block carries both.
+    combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(t_final)
+    combined = combined.reshape(t * 8, N_PIX)
+    dout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(inst.shape, jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(starts, counts, inst, t_final, g_acc)
-    # rows never covered by a tile segment keep garbage -> zero them.
-    total = jnp.sum(counts)
-    row = jnp.arange(inst.shape[0], dtype=jnp.int32)[:, None]
-    dinst = jnp.where(row < total, dinst, 0.0)
-    return dinst, None, None
+        out_shape=jax.ShapeDtypeStruct((nblk_out, ROWS, CHUNK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(starts, counts, obase, inst, combined)
+
+    # map tile-owned output blocks back to instance order:
+    #   opos(p) = p + (obase[tile] - blk0[tile]) * CHUNK
+    blk0 = starts // CHUNK
+    oshift = (obase - blk0) * CHUNK  # [T]
+    valid = tile_ids < t
+    tid_safe = jnp.where(valid, tile_ids, 0)
+    p = jnp.arange(nblk_in * CHUNK, dtype=jnp.int32)
+    opos = p + oshift[tid_safe]  # small-table gather
+    out_rows = dout.transpose(0, 2, 1).reshape(nblk_out * CHUNK, ROWS)
+    dinst_rows = out_rows[jnp.clip(opos, 0, nblk_out * CHUNK - 1)]
+    dinst_rows = jnp.where(valid[:, None], dinst_rows, 0.0)
+    dinst = dinst_rows.reshape(nblk_in, CHUNK, ROWS).transpose(0, 2, 1)
+    return dinst, None, None, None
 
 
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
@@ -396,7 +509,7 @@ def composite_tiles_pallas(
     )
     acc = _composite_core(
         inst, assignment.tile_starts, assignment.tile_counts,
-        nty, ntx, float(w), bool(wrap_x),
+        assignment.tile_ids, nty, ntx, float(w), bool(wrap_x),
     )  # [T*8, N_PIX]
     acc = acc.reshape(nty, ntx, 8, TILE_H, TILE_W)
     planes = acc.transpose(2, 0, 3, 1, 4).reshape(8, nty * TILE_H, ntx * TILE_W)

@@ -86,13 +86,16 @@ def composite_dense(
             inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
             alpha, 0.0
         )
-        # CUDA early-termination parity: the Gaussian that would push T below 1e-4
-        # is skipped and T freezes (all later ones then fail this test too).
-        alpha = jnp.where(trans * (1.0 - alpha) >= 1e-4, alpha, 0.0)
-        weight = alpha * trans
+        # Early termination (CUDA done-flag analogue, order-parallelizable form):
+        # T decays by every evaluated alpha; a Gaussian contributes only while the
+        # post-decay transmittance stays above 1e-4. Once T crosses the threshold
+        # it keeps (invisibly) decaying, so the cutoff is monotone and identical
+        # across dense/tiled/Pallas chunked evaluation orders.
+        trans_new = trans * (1.0 - alpha)
+        weight = jnp.where(trans_new >= 1e-4, alpha * trans, 0.0)
         rgb = rgb + weight[..., None] * c
         dacc = dacc + weight * d
-        trans = trans * (1.0 - alpha)
+        trans = trans_new
         return (rgb, trans, dacc), None
 
     init = (

@@ -1,22 +1,31 @@
 """Tile binning + depth sorting for the tiled rasterizer (static shapes, jit-friendly).
 
 Replaces the CUDA rasterizer's duplicate-expand + radix-sort stage (tile binning, depth
-sort — SURVEY.md §2.9) with an XLA design:
-  * every Gaussian emits up to MAX_TILES_PER_GAUSSIAN = SPAN_W x SPAN_H instances into a
-    fixed-capacity buffer (invalid slots get a sentinel tile id that sorts last);
-  * one lexicographic `lax.sort` over (tile_id, depth) orders instances front-to-back
-    within each tile;
-  * per-tile segment offsets come from a searchsorted over the sorted tile ids.
+sort — SURVEY.md §2.9) with an XLA design tuned around TPU primitive costs (sorts are
+~4 ns/element; gathers/scatters ~10 ns/index; per-index ops dominate, so the pipeline
+minimizes their count):
 
-Tiles are TILE_H x TILE_W = 16 x 128 pixels — lane-aligned (last dim 128) and matched to
-the horizontal anisotropy of pole-stretched ERP splats. The azimuth seam is handled by
-emitting wrapped tile columns (modulo) so splats crossing u = 0/W land in both edge
-tiles; the compositing kernel evaluates wrapped pixel deltas.
+  * two-tier instance emission, sorted DIRECTLY (no scatter compaction):
+      - fast tier: every Gaussian emits a static 2x2 tile rectangle (covers every
+        splat with radius <= TILE_H/2; invalid slots get a sentinel key);
+      - big tier: the (rare, pole-stretched) splats needing a larger span are
+        compacted with a capped nonzero() and emit a full SPAN_H x SPAN_W rectangle;
+        overflow beyond the cap is counted in `dropped`.
+  * one single-key sort: key = tile_id << 20 | depth_bits, where depth_bits are the
+    top 20 bits of the positive-float32 depth (order-preserving; ~2^-11 relative
+    depth resolution for ordering — ties break stably by emission order);
+  * per-tile segments via a searchsorted with T+1 queries (queries are cheap; the
+    many-query direction costs ~70 ns/query and is avoided everywhere).
+
+Tiles are TILE_H x TILE_W = 16 x 128 pixels — lane-aligned and matched to the
+horizontal anisotropy of pole-stretched ERP splats. The azimuth seam is handled by
+emitting wrapped (modulo) tile columns, with spans clamped to the grid so a splat
+never lands in the same tile twice.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +34,18 @@ from .projection import Projected
 
 TILE_H = 16
 TILE_W = 128
-SPAN_W = 4  # max tiles covered horizontally (4 * 128 = 512 px)
-SPAN_H = 8  # max tiles covered vertically   (8 * 16  = 128 px)
+SPAN_W = 4   # big-tier max tiles horizontally (4 * 128 = 512 px)
+SPAN_H = 8   # big-tier max tiles vertically   (8 * 16  = 128 px)
+_DEPTH_BITS = 20
+_SENTINEL = jnp.int32(0x7FFFFFFF)
 
 
 class TileAssignment(NamedTuple):
     gaussian_idx: jnp.ndarray  # [K] int32 index into the Gaussian arrays, sorted
+    tile_ids: jnp.ndarray      # [K] int32 tile of each sorted instance (>=T: invalid)
     tile_starts: jnp.ndarray   # [T] int32 start offset of each tile's segment
     tile_counts: jnp.ndarray   # [T] int32 number of instances per tile
+    dropped: jnp.ndarray       # [] int32 big-tier instances lost to the cap
     num_tiles_x: int
     num_tiles_y: int
 
@@ -42,17 +55,52 @@ def num_tiles(image_shape: tuple[int, int]) -> tuple[int, int]:
     return -(-h // TILE_H), -(-w // TILE_W)
 
 
+def _depth_key(depth: jnp.ndarray) -> jnp.ndarray:
+    """Top _DEPTH_BITS of the f32 bit pattern — order-preserving for depth > 0."""
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    return jax.lax.shift_right_logical(bits, 32 - 1 - _DEPTH_BITS)
+
+
+def _tile_rect_keys(tx0, ty0, span_x, span_y, qd, valid, ntx, nty, sh, sw, wrap_x):
+    """Emit keys for an sh x sw tile rectangle. Returns [N, sh, sw] int32 keys."""
+    sy = jnp.arange(sh, dtype=jnp.int32)
+    sx = jnp.arange(sw, dtype=jnp.int32)
+    tile_x = tx0[:, None] + sx[None, :]
+    tile_y = ty0[:, None] + sy[None, :]
+    if wrap_x:
+        tile_x = jnp.mod(tile_x, ntx)
+    tile_id = tile_y[:, :, None] * ntx + tile_x[:, None, :]
+    ok = (
+        (sy[None, :, None] < span_y[:, None, None])
+        & (sx[None, None, :] < span_x[:, None, None])
+        & valid[:, None, None]
+    )
+    key = jax.lax.shift_left(tile_id, _DEPTH_BITS) | qd[:, None, None]
+    return jnp.where(ok, key, _SENTINEL)
+
+
 def assign_tiles(
-    proj: Projected, image_shape: tuple[int, int], wrap_x: bool
+    proj: Projected,
+    image_shape: tuple[int, int],
+    wrap_x: bool,
+    big_cap: Optional[int] = None,
+    instance_cap: Optional[int] = None,
 ) -> TileAssignment:
-    h, w = image_shape
-    ntx, nty = num_tiles(image_shape)[1], num_tiles(image_shape)[0]
+    nty, ntx = num_tiles(image_shape)
     t_total = ntx * nty
     n = proj.mean2d.shape[0]
+    n_big = big_cap if big_cap is not None else max(n // 32, 256)
+    # Post-sort truncation cap: real instances sort before sentinels, so keeping the
+    # first `cap` entries only drops work when the real count exceeds it (counted in
+    # `dropped`). This bounds every downstream per-index cost (pack gather, kernel
+    # blocks, gradient scatter-add).
+    cap = instance_cap if instance_cap is not None else max(5 * n // 2, 4096)
+    cap = -(-cap // TILE_W) * TILE_W
 
     u = proj.mean2d[:, 0]
     v = proj.mean2d[:, 1]
     r = proj.radius
+    qd = _depth_key(jnp.maximum(proj.depth, 1e-9))
 
     tx0 = jnp.floor((u - r) / TILE_W).astype(jnp.int32)
     tx1 = jnp.floor((u + r) / TILE_W).astype(jnp.int32)
@@ -63,46 +111,58 @@ def assign_tiles(
         tx1 = jnp.clip(tx1, 0, ntx - 1)
     ty0 = jnp.clip(ty0, 0, nty - 1)
     ty1 = jnp.clip(ty1, 0, nty - 1)
-    # Clamp spans to the grid size: with azimuth wrap a span covering >= ntx tiles
-    # would otherwise emit duplicate instances into the same (modulo) tile.
+    # Clamp spans to the grid size (wrap would otherwise duplicate tiles).
     span_x = jnp.minimum(jnp.minimum(tx1 - tx0 + 1, SPAN_W), ntx)
     span_y = jnp.minimum(jnp.minimum(ty1 - ty0 + 1, SPAN_H), nty)
 
-    # Enumerate the (SPAN_H, SPAN_W) static rectangle of candidate tiles per Gaussian.
-    sx = jnp.arange(SPAN_W, dtype=jnp.int32)
-    sy = jnp.arange(SPAN_H, dtype=jnp.int32)
-    tile_x = tx0[:, None] + sx[None, :]  # [N, SPAN_W]
-    tile_y = ty0[:, None] + sy[None, :]  # [N, SPAN_H]
-    if wrap_x:
-        tile_x = jnp.mod(tile_x, ntx)
-    ok_x = sx[None, :] < span_x[:, None]
-    ok_y = sy[None, :] < span_y[:, None]
-    tile_id = (
-        tile_y[:, :, None] * ntx + tile_x[:, None, :]
-    )  # [N, SPAN_H, SPAN_W]
-    ok = (ok_y[:, :, None] & ok_x[:, None, :]) & proj.valid[:, None, None]
-    tile_id = jnp.where(ok, tile_id, t_total)  # sentinel sorts last
+    is_big = (span_x > 2) | (span_y > 2)
+    small_valid = proj.valid & ~is_big
+    keys_small = _tile_rect_keys(
+        tx0, ty0, span_x, span_y, qd, small_valid, ntx, nty, 2, 2, wrap_x
+    ).reshape(-1)
+    gidx_small = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 4)
+    ).reshape(-1)
 
-    k = n * SPAN_H * SPAN_W
-    tile_id = tile_id.reshape(k)
-    depth = jnp.broadcast_to(
-        proj.depth[:, None, None], (n, SPAN_H, SPAN_W)
-    ).reshape(k)
-    gidx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None, None], (n, SPAN_H, SPAN_W)
-    ).reshape(k)
+    # big tier: compact the big subset, then emit the full rectangle
+    big_mask = proj.valid & is_big
+    (big_idx,) = jnp.nonzero(big_mask, size=n_big, fill_value=-1)
+    big_ok = big_idx >= 0
+    bi = jnp.clip(big_idx, 0, n - 1)
+    keys_big = _tile_rect_keys(
+        tx0[bi], ty0[bi], span_x[bi], span_y[bi], qd[bi], big_ok,
+        ntx, nty, SPAN_H, SPAN_W, wrap_x,
+    ).reshape(-1)
+    gidx_big = jnp.broadcast_to(
+        bi[:, None], (n_big, SPAN_H * SPAN_W)
+    ).reshape(-1)
+    dropped = jnp.maximum(jnp.sum(big_mask) - jnp.sum(big_ok), 0)
 
-    tile_sorted, _, gidx_sorted = jax.lax.sort(
-        (tile_id, depth, gidx), num_keys=2
-    )
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(t_total, dtype=tile_sorted.dtype))
-    ends = jnp.searchsorted(
-        tile_sorted, jnp.arange(1, t_total + 1, dtype=tile_sorted.dtype)
-    )
+    keys = jnp.concatenate([keys_small, keys_big])
+    gidx = jnp.concatenate([gidx_small, gidx_big])
+    # pad K to a block multiple for the kernel's block-granular DMA
+    k = keys.shape[0]
+    k_pad = -(-k // TILE_W) * TILE_W
+    keys = jnp.pad(keys, (0, k_pad - k), constant_values=_SENTINEL)
+    gidx = jnp.pad(gidx, (0, k_pad - k))
+
+    keys_sorted, gidx_sorted = jax.lax.sort((keys, gidx), num_keys=1)
+    if cap < k_pad:
+        n_real = jnp.sum((keys_sorted[cap:] != _SENTINEL).astype(jnp.int32))
+        dropped = dropped + n_real
+        keys_sorted = keys_sorted[:cap]
+        gidx_sorted = gidx_sorted[:cap]
+    tile_ids = jax.lax.shift_right_logical(keys_sorted, _DEPTH_BITS)
+
+    bounds = jnp.arange(t_total + 1, dtype=jnp.int32) << _DEPTH_BITS
+    edges = jnp.searchsorted(keys_sorted, bounds)  # T+1 queries: cheap
+    edges = jnp.minimum(edges, keys_sorted.shape[0])
     return TileAssignment(
         gaussian_idx=gidx_sorted,
-        tile_starts=starts.astype(jnp.int32),
-        tile_counts=(ends - starts).astype(jnp.int32),
+        tile_ids=tile_ids.astype(jnp.int32),
+        tile_starts=edges[:-1].astype(jnp.int32),
+        tile_counts=(edges[1:] - edges[:-1]).astype(jnp.int32),
+        dropped=dropped.astype(jnp.int32),
         num_tiles_x=ntx,
         num_tiles_y=nty,
     )
