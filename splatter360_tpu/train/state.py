@@ -48,6 +48,7 @@ class TrainConfig:
     supervision: str = "cubes"  # "cubes" | "erp"
     cube_face_size: Optional[int] = None  # default: H // 2
     render_backend: str = "pallas"
+    max_per_tile: int = 2048  # jax-backend compositor segment cap
     wo_depth_supervise: bool = False
 
 
@@ -157,6 +158,7 @@ def compute_losses(
             tgt["far"],
             (face, face),
             backend=train_cfg.render_backend,
+            max_per_tile=train_cfg.max_per_tile,
         )
         gt_faces = _context_cubes(tgt["image_sphere"], face)
         pred = rendered.color  # [B, Vt, 6, f, f, 3]
@@ -172,6 +174,7 @@ def compute_losses(
             tgt["far"],
             (h, w),
             backend=train_cfg.render_backend,
+            max_per_tile=train_cfg.max_per_tile,
         )
         pred = rendered.color  # [B, Vt, H, W, 3]
         gt = tgt["image_sphere"]

@@ -1,0 +1,123 @@
+"""Weight converters: synthetic torch-style state dicts -> flax params that load and
+produce matching shapes (no real checkpoints in this environment — zero egress)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from splatter360_tpu.models.backbone import BackboneMultiview
+from splatter360_tpu.models.dino import DinoViT
+from splatter360_tpu.train.checkpoint import partial_warm_start
+from splatter360_tpu.utils.torch_convert import (
+    convert_dinov2,
+    convert_unimatch_backbone,
+)
+
+
+def _fake_unimatch_sd(c=32, layers=2):
+    rng = np.random.default_rng(0)
+    sd = {}
+    dims = [64, 96, 128]  # fixed UniMatch CNN dims (mirrored by our CNNEncoder)
+    sd["backbone.conv1.weight"] = rng.normal(size=(64, 3, 7, 7)).astype(np.float32)
+    in_planes = 64
+    for stage, dim in enumerate(dims, start=1):
+        for sub in (0, 1):
+            p = f"backbone.layer{stage}.{sub}"
+            inp = in_planes if sub == 0 else dim
+            sd[f"{p}.conv1.weight"] = rng.normal(size=(dim, inp, 3, 3)).astype(np.float32)
+            sd[f"{p}.conv2.weight"] = rng.normal(size=(dim, dim, 3, 3)).astype(np.float32)
+            if sub == 0 and (stage > 1 or inp != dim):
+                sd[f"{p}.downsample.0.weight"] = rng.normal(size=(dim, inp, 1, 1)).astype(np.float32)
+                sd[f"{p}.downsample.0.bias"] = rng.normal(size=(dim,)).astype(np.float32)
+        in_planes = dim
+    sd["backbone.conv2.weight"] = rng.normal(size=(c, 128, 1, 1)).astype(np.float32)
+    sd["backbone.conv2.bias"] = rng.normal(size=(c,)).astype(np.float32)
+    for i in range(layers):
+        for attn in ("self_attn", "cross_attn_ffn"):
+            p = f"transformer.layers.{i}.{attn}"
+            for proj in ("q_proj", "k_proj", "v_proj", "merge"):
+                sd[f"{p}.{proj}.weight"] = rng.normal(size=(c, c)).astype(np.float32)
+            sd[f"{p}.norm1.weight"] = np.ones(c, np.float32)
+            sd[f"{p}.norm1.bias"] = np.zeros(c, np.float32)
+            if attn == "cross_attn_ffn":
+                sd[f"{p}.mlp.0.weight"] = rng.normal(size=(8 * c, 2 * c)).astype(np.float32)
+                sd[f"{p}.mlp.2.weight"] = rng.normal(size=(c, 8 * c)).astype(np.float32)
+                sd[f"{p}.norm2.weight"] = np.ones(c, np.float32)
+                sd[f"{p}.norm2.bias"] = np.zeros(c, np.float32)
+    return sd
+
+
+def test_unimatch_conversion_loads():
+    c = 32
+    model = BackboneMultiview(
+        feature_channels=c, num_transformer_layers=2, downscale_factor=8
+    )
+    x = jnp.zeros((1, 2, 32, 64, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    donor = {"params": convert_unimatch_backbone(_fake_unimatch_sd(c), 2)}
+    merged = partial_warm_start(params, donor)
+    # stem conv must have been replaced (shape match) — check one leaf
+    got = np.asarray(
+        merged["params"]["CNNEncoder_0"]["Conv_0"]["kernel"]
+    )
+    want = _fake_unimatch_sd(c)["backbone.conv1.weight"].transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # q_proj of layer 0 self-attn replaced
+    got_q = np.asarray(
+        merged["params"]["MultiViewFeatureTransformer_0"]["layer0_self"][
+            "q_proj"
+        ]["kernel"]
+    )
+    assert got_q.shape == (c, c)
+    # and the model still runs with merged params
+    out, cnn = model.apply(merged, x)
+    assert out.shape == (1, 2, 4, 8, c)
+
+
+def _fake_dino_sd(dim=64, depth=2, grid=9, patch=14):
+    rng = np.random.default_rng(1)
+    sd = {
+        "patch_embed.proj.weight": rng.normal(size=(dim, 3, patch, patch)).astype(np.float32),
+        "patch_embed.proj.bias": np.zeros(dim, np.float32),
+        "pos_embed": rng.normal(size=(1, 1 + grid * grid, dim)).astype(np.float32),
+        "norm.weight": np.ones(dim, np.float32),
+        "norm.bias": np.zeros(dim, np.float32),
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        sd[f"{p}.norm1.weight"] = np.ones(dim, np.float32)
+        sd[f"{p}.norm1.bias"] = np.zeros(dim, np.float32)
+        sd[f"{p}.norm2.weight"] = np.ones(dim, np.float32)
+        sd[f"{p}.norm2.bias"] = np.zeros(dim, np.float32)
+        sd[f"{p}.attn.qkv.weight"] = rng.normal(size=(3 * dim, dim)).astype(np.float32)
+        sd[f"{p}.attn.qkv.bias"] = np.zeros(3 * dim, np.float32)
+        sd[f"{p}.attn.proj.weight"] = rng.normal(size=(dim, dim)).astype(np.float32)
+        sd[f"{p}.attn.proj.bias"] = np.zeros(dim, np.float32)
+        sd[f"{p}.ls1.gamma"] = np.full(dim, 1e-5, np.float32)
+        sd[f"{p}.mlp.fc1.weight"] = rng.normal(size=(4 * dim, dim)).astype(np.float32)
+        sd[f"{p}.mlp.fc1.bias"] = np.zeros(4 * dim, np.float32)
+        sd[f"{p}.mlp.fc2.weight"] = rng.normal(size=(dim, 4 * dim)).astype(np.float32)
+        sd[f"{p}.mlp.fc2.bias"] = np.zeros(dim, np.float32)
+        sd[f"{p}.ls2.gamma"] = np.full(dim, 1e-5, np.float32)
+    return sd
+
+
+def test_dinov2_conversion_loads():
+    import splatter360_tpu.models.dino as dino_mod
+
+    # small synthetic "vit": dim 64 -> heads 1, depth 2
+    dino_mod.VIT_DIMS["test"] = (64, 1, 2)
+    model = DinoViT(vit_type="test")
+    x = jnp.zeros((1, 28, 28, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    converted = convert_dinov2(_fake_dino_sd(), grid_hw=(2, 2))
+    merged = partial_warm_start(params, {"params": converted})
+    out = model.apply(merged, x)
+    assert out.shape == (1, 2, 2, 64)
+    # pos_embed got resampled into our grid shape and loaded
+    np.testing.assert_equal(
+        np.asarray(merged["params"]["pos_embed"]).shape, (1, 4, 64)
+    )
+    got = np.asarray(merged["params"]["block0"]["ls1"])
+    np.testing.assert_allclose(got, 1e-5, atol=1e-8)
