@@ -1,0 +1,128 @@
+"""Per-stage timing of the rasterizer pipeline at the north-star workload.
+
+Times (on the real TPU; JAX_PLATFORMS=axon is ambient):
+  project      project_erp + sh_colors, fwd
+  tiles        assign_tiles (emit + sort + searchsorted)
+  pack         _pack_instances row gather
+  kernel_fwd   pallas forward compositing alone
+  kernel_fb    pallas fwd+bwd via custom VJP (includes pack-transpose scatter)
+  full_fwd     whole render_tiled forward
+  full_fb      whole render_tiled fwd+bwd (the bench.py number)
+
+Prints one line per stage: name, ms/iter, and for the full pipeline Mpx/s.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from splatter360_tpu.data.synthetic import random_gaussians
+from splatter360_tpu.ops import projection as P
+from splatter360_tpu.ops.tiling import assign_tiles
+from splatter360_tpu.ops.pallas.composite import (
+    _composite_core, _pack_instances, composite_tiles_pallas,
+)
+from splatter360_tpu.ops.rasterizer import render_tiled
+
+H, W, SH_DEG = 512, 1024, 4
+N = 2 * H * W
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr)
+    g = random_gaussians(
+        jax.random.PRNGKey(0), N, sh_degree=SH_DEG,
+        radius_range=(0.5, 8.0), scale_range=(0.004, 0.03),
+    )
+    means, covs, sh, op = (
+        g["means"], g["covariances"], g["harmonics"], g["opacities"])
+    c2w = jnp.eye(4)
+
+    @jax.jit
+    def stage_project(means, covs, sh):
+        pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+        cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+        return pr.mean2d, pr.conic, pr.depth, pr.radius, pr.valid, cols
+
+    @jax.jit
+    def stage_tiles(means, covs):
+        pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+        a = assign_tiles(pr, (H, W), True)
+        return a.gaussian_idx, a.tile_starts, a.tile_counts, a.tile_ids
+
+    @jax.jit
+    def stage_pack(means, covs, sh, op):
+        pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+        cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+        a = assign_tiles(pr, (H, W), True)
+        inst = _pack_instances(a, pr.mean2d, pr.conic, cols, op,
+                               pr.depth, pr.radius)
+        return inst, a.tile_starts, a.tile_counts, a.tile_ids
+
+    inst, starts, counts, tile_ids = stage_pack(means, covs, sh, op)
+    inst = jax.block_until_ready(inst)
+    from splatter360_tpu.ops.tiling import num_tiles
+    nty, ntx = num_tiles((H, W))
+
+    @jax.jit
+    def stage_kernel_fwd(inst, starts, counts, tile_ids):
+        return _composite_core(inst, starts, counts, tile_ids,
+                               nty, ntx, float(W), True)
+
+    @jax.jit
+    def stage_kernel_fb(inst, starts, counts, tile_ids):
+        def f(inst):
+            acc = _composite_core(inst, starts, counts, tile_ids,
+                                  nty, ntx, float(W), True)
+            return jnp.sum(acc.reshape(-1, 8, 2048)[:, 0:5, :])
+        return jax.grad(f)(inst)
+
+    @jax.jit
+    def stage_full_fwd(means, covs, sh, op):
+        out = render_tiled(means, covs, sh, op, c2w, (H, W),
+                           camera_kind="erp", backend="pallas")
+        return out.color
+
+    @jax.jit
+    def stage_full_fb(means, covs, sh, op):
+        def f(means, covs, sh, op):
+            out = render_tiled(means, covs, sh, op, c2w, (H, W),
+                               camera_kind="erp", backend="pallas")
+            return jnp.mean(out.color) + jnp.mean(out.alpha)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(means, covs, sh, op)
+
+    k = inst.shape[0] * inst.shape[2]
+    print(f"instances K={k} blocks={inst.shape[0]}", file=sys.stderr)
+
+    res = {}
+    res["project"] = timeit(stage_project, means, covs, sh)
+    res["tiles"] = timeit(stage_tiles, means, covs)
+    res["pack"] = timeit(stage_pack, means, covs, sh, op)
+    res["kernel_fwd"] = timeit(stage_kernel_fwd, inst, starts, counts, tile_ids)
+    res["kernel_fb"] = timeit(stage_kernel_fb, inst, starts, counts, tile_ids)
+    res["full_fwd"] = timeit(stage_full_fwd, means, covs, sh, op)
+    res["full_fb"] = timeit(stage_full_fb, means, covs, sh, op)
+
+    mpx = H * W / 1e6
+    for name, ms in res.items():
+        extra = f"  ({mpx / (ms / 1e3):8.2f} Mpx/s)" if name.startswith("full") \
+            or name.startswith("kernel") else ""
+        print(f"{name:12s} {ms:8.2f} ms{extra}")
+
+
+if __name__ == "__main__":
+    main()

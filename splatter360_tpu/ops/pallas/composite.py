@@ -158,7 +158,7 @@ def _forward_kernel(
     n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
 
     racc[:] = jnp.zeros((N_PIX, 8), jnp.float32)
-    tacc[:] = jnp.ones((N_PIX, 1), jnp.float32)
+    tacc[:] = jnp.zeros((N_PIX, 1), jnp.float32)  # log-transmittance carry
 
     mup = _strict_upper(jnp.float32)
 
@@ -180,29 +180,31 @@ def _forward_kernel(
 
         in_copy(slot, j).wait()
 
-        @pl.when(jnp.max(tacc[:]) >= _T_EPS if _EARLY_EXIT else j >= 0)
+        @pl.when(jnp.max(tacc[:]) >= _LOG_T_EPS if _EARLY_EXIT else j >= 0)
         def _():
             data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
 
             alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
             lg = jnp.log1p(-alpha)
             e = _contract(lg, mup, ((1,), (0,)))  # exclusive prefix over chunk
-            t_in = tacc[:]
-            t_i = t_in * jnp.exp(e)
+            # T carried in log space: never underflows, and the backward can
+            # reconstruct per-block T by exact telescoping of the log sums.
+            t_i = jnp.exp(tacc[:] + e)
             # unmasked T decay + post-decay contribution gate (see rasterizer_ref)
             w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
 
             cd = data[6:10, :]  # [4, CHUNK]: r g b depth
             racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
-            tacc[:] = t_in * jnp.exp(jnp.sum(lg, axis=1, keepdims=True))
+            tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
 
         return 0
 
     jax.lax.fori_loop(0, n_blocks, body, 0)
 
     planes = jnp.concatenate(
-        [racc[:, 0:4], tacc[:], jnp.zeros((N_PIX, 3), jnp.float32)], axis=1
-    )
+        [racc[:, 0:4], jnp.exp(tacc[:]), tacc[:],
+         jnp.zeros((N_PIX, 2), jnp.float32)], axis=1
+    )  # r g b depth T logT 0 0
     acc_ref[:] = planes.T  # one [N_PIX, 8] -> [8, N_PIX] transpose per tile
 
 
@@ -227,9 +229,9 @@ def _backward_kernel(
     mup = _strict_upper(jnp.float32)
     mlow = _strict_lower(jnp.float32)
 
-    t_final = gacc_ref[5:6, :].T     # [N_PIX, 1]
+    lt_final = gacc_ref[5:6, :].T    # [N_PIX, 1] log T_final (exact, no clamping)
     g_rgbd = gacc_ref[0:4, :]        # [4, N_PIX]
-    gt_term = (gacc_ref[4:5, :] * gacc_ref[5:6, :]).T  # [N_PIX, 1] g_T * T_final
+    gt_term = (gacc_ref[4:5, :] * jnp.exp(gacc_ref[5:6, :])).T  # g_T * T_final
 
     def in_copy(slot, j):
         return pltpu.make_async_copy(
@@ -266,7 +268,7 @@ def _backward_kernel(
         lg = jnp.log1p(-alpha)
         sum_lg = jnp.sum(lg, axis=1, keepdims=True)
         # T at block end/start from the full (unmasked) decay — no fixed point.
-        log_t_end = jnp.log(jnp.maximum(t_final, 1e-30)) - log_t_suffix
+        log_t_end = lt_final - log_t_suffix
         log_t_start = log_t_end - sum_lg
 
         psum_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -433,12 +435,12 @@ def _composite_core_fwd(
 ):
     acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
     t = nty * ntx
-    t_final = acc.reshape(t, 8, N_PIX)[:, 4, :]  # [T, N_PIX]
-    return acc, (inst, starts, counts, tile_ids, t_final)
+    lt_final = acc.reshape(t, 8, N_PIX)[:, 5, :]  # [T, N_PIX] log T
+    return acc, (inst, starts, counts, tile_ids, lt_final)
 
 
 def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
-    inst, starts, counts, tile_ids, t_final = res
+    inst, starts, counts, tile_ids, lt_final = res
     t = nty * ntx
     nblk_in = inst.shape[0]
     obase, nblk_out = _out_block_layout(starts, counts, nblk_in)
@@ -464,9 +466,10 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    # fold T_final into the (otherwise zero) plane 5 of the gradient planes so a
-    # single aligned (8, N_PIX) block carries both.
-    combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(t_final)
+    # fold log T_final into plane 5 of the gradient planes so a single aligned
+    # (8, N_PIX) block carries both. (The forward's logT output plane is not a
+    # differentiable output — its cotangent slot is overwritten here.)
+    combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(lt_final)
     combined = combined.reshape(t * 8, N_PIX)
     dout = pl.pallas_call(
         kernel,

@@ -53,6 +53,120 @@ def _strip_scene(batch):
     return {k: v for k, v in batch.items() if k != "scene"}
 
 
+class Validator:
+    """Periodic validation during training (SURVEY.md §2.7 validation_step parity,
+    model_wrapper_erp.py:589-690): one held-out example -> PSNR/SSIM scalars, a
+    labeled side-by-side comparison sheet, predicted ERP depth visualization, and
+    an interpolated-trajectory video."""
+
+    def __init__(self, cfg, out_dir):
+        import jax.numpy as jnp  # local: keep trainer import light
+
+        from functools import partial
+        from ..models.decoder import render_erp_views
+
+        self.cfg = cfg
+        self.out = Path(out_dir)
+        self.example = None  # loaded lazily (val dataset may be absent)
+        self._jnp = jnp
+        h = cfg.dataset.image_shape[0]
+        self.face = h // 2
+
+        @partial(jax.jit, static_argnames=("render_depth",))
+        def decode_erp(gaussians, extr, near, far, render_depth=False):
+            return render_erp_views(
+                gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
+                render_depth=render_depth, backend=cfg.train.render_backend,
+            )
+
+        self._decode = decode_erp
+
+    def _load_example(self):
+        if self.example is not None:
+            return self.example
+        from ..data.dataset import SceneDataset, batch_examples
+
+        for split in ("val", "test"):
+            try:
+                ds = SceneDataset(self.cfg.dataset, split=split, stage="val")
+                for ex in ds:
+                    self.example = batch_examples([ex])
+                    return self.example
+            except Exception:
+                continue
+        return None
+
+    def run(self, state, step, writer=None):
+        import jax.numpy as jnp
+
+        from ..geometry.transforms import interpolate_pose_6d
+        from ..train.state import _context_cubes
+        from ..utils.image_io import (
+            add_label, apply_depth_colormap, hcat, save_image, save_video, vcat,
+        )
+        from .metrics import compute_psnr, compute_ssim
+
+        batch = self._load_example()
+        if batch is None:
+            return {}
+        ctx = jax.tree_util.tree_map(jnp.asarray, batch["context"])
+        tgt = jax.tree_util.tree_map(jnp.asarray, batch["target"])
+        cubes = _context_cubes(ctx["image_sphere"], self.face)
+        gaussians, pred_depth = state.apply_fn(
+            state.params, ctx["image_sphere"], cubes,
+            ctx["extrinsics_sphere"], ctx["near"], ctx["far"], step,
+        )
+        out = self._decode(
+            gaussians, tgt["extrinsics_sphere"], tgt["near"],
+            tgt["far"], render_depth=True,
+        )
+        pred = np.asarray(out.color[0])
+        gt = np.asarray(tgt["image_sphere"][0])
+        psnr = float(np.mean(np.asarray(
+            compute_psnr(jnp.asarray(gt), jnp.asarray(pred)))))
+        ssim = float(np.mean(np.asarray(
+            compute_ssim(jnp.asarray(gt), jnp.asarray(pred)))))
+        metrics = {"psnr": psnr, "ssim": ssim}
+        if writer is not None:
+            for k, v in metrics.items():
+                writer.add_scalar(f"val/{k}", v, step)
+
+        vdir = self.out / "val" / f"{step:08d}"
+        rows = [
+            add_label(hcat(*[gt[i] for i in range(gt.shape[0])]), "target gt"),
+            add_label(hcat(*[pred[i] for i in range(pred.shape[0])]),
+                      "target pred"),
+        ]
+        if out.depth is not None:
+            d = np.asarray(out.depth[0]) / np.maximum(
+                np.asarray(out.alpha[0]), 1e-6)
+            rows.append(add_label(
+                hcat(*[apply_depth_colormap(d[i]) for i in range(d.shape[0])]),
+                "rendered depth"))
+        save_image(vcat(*rows), vdir / "comparison.png")
+        if pred_depth is not None:
+            enc_d = np.asarray(pred_depth[0, 0])
+            if enc_d.ndim == 3:
+                enc_d = enc_d[..., 0]
+            save_image(apply_depth_colormap(enc_d), vdir / "encoder_depth.png")
+
+        try:
+            extr = ctx["extrinsics_sphere"][0]
+            frames = []
+            for t in np.linspace(0, 1, 12):
+                pose = interpolate_pose_6d(extr[0], extr[-1], float(t))
+                o = self._decode(
+                    gaussians, pose[None, None],
+                    tgt["near"][:, :1], tgt["far"][:, :1],
+                )
+                frames.append(np.asarray(o.color[0, 0]))
+            save_video(frames, vdir / "interpolation.mp4", fps=8)
+        except Exception as e:  # video must not abort training
+            print(f"warning: val video failed: {e}")
+        print(f"val step {step}: psnr={psnr:.3f} ssim={ssim:.4f}")
+        return metrics
+
+
 class Trainer:
     def __init__(self, cfg, log_dir: str | None = None):
         self.cfg = cfg
@@ -109,6 +223,12 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        validator = Validator(cfg, self.out)
+        if cfg.trainer.num_sanity_val_steps > 0 and int(state.step) == 0:
+            # sanity check the full val path before the long training loop
+            # (num_sanity_val_steps parity, config/main.yaml:74)
+            validator.run(state, int(state.step), self.writer)
+
         batch = first
         t0 = time.perf_counter()
         while int(state.step) < cfg.trainer.max_steps:
@@ -126,6 +246,14 @@ class Trainer:
                 )
                 print(f"step {step}: {msg} ({dt:.1f}s)")
                 self._log(step, metrics)
+
+            if (cfg.trainer.val_check_interval > 0
+                    and step % cfg.trainer.val_check_interval == 0
+                    and step > 0):
+                try:
+                    validator.run(state, step, self.writer)
+                except Exception as e:  # validation must not abort training
+                    print(f"warning: validation failed at step {step}: {e}")
 
             if step % cfg.checkpointing.every_n_train_steps == 0 and step > 0:
                 ckpt.save_checkpoint(

@@ -92,6 +92,32 @@ def vcat(*images, pad: int = 0):
     return np.concatenate(out, axis=0)
 
 
+def add_label(img, text: str, height: int = 18):
+    """Add a white text banner above an [H, W, 3] image (reference
+    src/visualization/layout.py add_label parity, PIL-based)."""
+    from PIL import Image, ImageDraw
+
+    arr = np.asarray(img)
+    was_float = arr.dtype != np.uint8
+    if was_float:
+        arr = to_uint8(arr)
+    banner = Image.new("RGB", (arr.shape[1], height), (255, 255, 255))
+    draw = ImageDraw.Draw(banner)
+    draw.text((4, 2), text, fill=(0, 0, 0))
+    out = np.concatenate([np.asarray(banner), arr], axis=0)
+    if was_float:
+        out = out.astype(np.float32) / 255.0
+    return out
+
+
+def add_border(img, width: int = 2, value: float = 1.0):
+    """Pad a constant border around an [H, W, C] image."""
+    arr = np.asarray(img)
+    return np.pad(
+        arr, ((width, width), (width, width), (0, 0)), constant_values=value
+    )
+
+
 def apply_depth_colormap(depth, near=None, far=None):
     """Depth [H, W] -> turbo-ish colormap [H, W, 3] (visualization parity with the
     reference's viridis/inferno depth dumps)."""
