@@ -12,6 +12,7 @@ Times (on the real TPU; JAX_PLATFORMS=axon is ambient):
 Prints one line per stage: name, ms/iter, and for the full pipeline Mpx/s.
 """
 
+import os
 import sys
 import time
 
@@ -24,7 +25,7 @@ from splatter360_tpu.data.synthetic import random_gaussians
 from splatter360_tpu.ops import projection as P
 from splatter360_tpu.ops.tiling import assign_tiles
 from splatter360_tpu.ops.pallas.composite import (
-    _composite_core, _pack_instances, composite_tiles_pallas,
+    N_PIX, _composite_core, _pack_instances,
 )
 from splatter360_tpu.ops.rasterizer import render_tiled
 
@@ -88,7 +89,7 @@ def main():
         def f(inst):
             acc = _composite_core(inst, starts, counts, tile_ids,
                                   nty, ntx, float(W), True)
-            return jnp.sum(acc.reshape(-1, 8, 2048)[:, 0:5, :])
+            return jnp.sum(acc.reshape(-1, 8, N_PIX)[:, 0:5, :])
         return jax.grad(f)(inst)
 
     @jax.jit
@@ -108,13 +109,16 @@ def main():
     k = inst.shape[0] * inst.shape[2]
     print(f"instances K={k} blocks={inst.shape[0]}", file=sys.stderr)
 
+    quick = os.environ.get("SPLAT360_BREAKDOWN_QUICK") == "1"
     res = {}
-    res["project"] = timeit(stage_project, means, covs, sh)
-    res["tiles"] = timeit(stage_tiles, means, covs)
-    res["pack"] = timeit(stage_pack, means, covs, sh, op)
+    if not quick:
+        res["project"] = timeit(stage_project, means, covs, sh)
+        res["tiles"] = timeit(stage_tiles, means, covs)
+        res["pack"] = timeit(stage_pack, means, covs, sh, op)
     res["kernel_fwd"] = timeit(stage_kernel_fwd, inst, starts, counts, tile_ids)
     res["kernel_fb"] = timeit(stage_kernel_fb, inst, starts, counts, tile_ids)
-    res["full_fwd"] = timeit(stage_full_fwd, means, covs, sh, op)
+    if not quick:
+        res["full_fwd"] = timeit(stage_full_fwd, means, covs, sh, op)
     res["full_fb"] = timeit(stage_full_fb, means, covs, sh, op)
 
     mpx = H * W / 1e6

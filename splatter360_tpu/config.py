@@ -50,6 +50,7 @@ class TestConfig:
     eval_time_skip_steps: int = 5
     save_image: bool = True
     save_video: bool = False
+    video_trajectory: str = "interpolate"  # interpolate | wobble | spin
     eval_depth: bool = False
 
 

@@ -107,3 +107,36 @@ def interpolate_pose_6d(pose_a: jnp.ndarray, pose_b: jnp.ndarray, t) -> jnp.ndar
         jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pose_a.dtype), (*top.shape[:-2], 1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def trajectory_wobble(pose: jnp.ndarray, radius, t) -> jnp.ndarray:
+    """Camera-space circular wobble around a base c2w pose (reference
+    src/visualization/camera_trajectory/wobble.py generate_wobble): the camera
+    origin traces a circle of `radius` in its local xy plane; orientation fixed.
+    t in [0, 1] (one full loop)."""
+    t = jnp.asarray(t, pose.dtype)
+    dx = radius * jnp.sin(2.0 * jnp.pi * t)
+    dy = -radius * jnp.cos(2.0 * jnp.pi * t) + radius
+    delta = jnp.stack([dx, dy, jnp.zeros_like(dx)], axis=-1)  # [..., 3]
+    world_delta = jnp.einsum("ij,...j->...i", pose[:3, :3], delta)
+    out = jnp.broadcast_to(pose, (*world_delta.shape[:-1], 4, 4))
+    return out.at[..., :3, 3].add(world_delta)
+
+
+def trajectory_spin(pose: jnp.ndarray, t) -> jnp.ndarray:
+    """Yaw spin in place: rotate the camera about its local up (y) axis by
+    2*pi*t (reference render_video_generic spin trajectory)."""
+    t = jnp.asarray(t, pose.dtype)
+    ang = 2.0 * jnp.pi * t
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    rot_y = jnp.stack(
+        [jnp.stack([c, z, s], axis=-1),
+         jnp.stack([z, o, z], axis=-1),
+         jnp.stack([-s, z, c], axis=-1)],
+        axis=-2,
+    )  # [..., 3, 3]
+    new_rot = jnp.einsum("ij,...jk->...ik", pose[:3, :3], rot_y)
+    out = jnp.broadcast_to(pose, (*new_rot.shape[:-2], 4, 4))
+    return out.at[..., :3, :3].set(new_rot)

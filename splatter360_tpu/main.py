@@ -8,6 +8,8 @@ Builds the typed RootConfig from YAML + dotted overrides, then dispatches train/
 
 from __future__ import annotations
 
+import json
+import os
 import sys
 from pathlib import Path
 
@@ -15,6 +17,15 @@ from .config import RootConfig, load_config
 
 
 def main(argv=None):
+    # Honor JAX_PLATFORMS even though the ambient sitecustomize imports jax at
+    # interpreter start (its config snapshot would otherwise ignore the env of
+    # `env JAX_PLATFORMS=cpu python -m splatter360_tpu.main ...`).
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     path = None
     if argv and "=" not in argv[0]:
@@ -51,6 +62,37 @@ def main(argv=None):
         if not ok:
             print("warning: no checkpoint restored; evaluating random weights")
         Evaluator(cfg, state).run()
+    elif cfg.mode == "generate_index":
+        # Evaluation-index generation (SURVEY.md §2.8,
+        # src/evaluation/evaluation_index_generator.py + src/scripts/generate_*.py)
+        from .evaluation.index_generator import (
+            IndexGeneratorConfig, generate_index,
+        )
+
+        out = str(Path(cfg.output_dir) / "evaluation_index.json")
+        generate_index(
+            cfg.dataset.roots, "test", out,
+            IndexGeneratorConfig(
+                num_context_views=cfg.dataset.view_sampler.num_context_views
+            ),
+        )
+        print(f"wrote {out}")
+    elif cfg.mode == "compute_metrics":
+        # Offline metric recomputation (src/scripts/compute_metrics.py parity):
+        # compares each method dir under <output_dir>/methods to <output_dir>/gt.
+        from .evaluation.metric_computer import compute_metrics_offline
+
+        base = Path(cfg.output_dir)
+        methods = {
+            p.name: str(p) for p in sorted((base / "methods").iterdir())
+            if p.is_dir()
+        }
+        if not methods:
+            raise SystemExit(f"no method dirs under {base / 'methods'}")
+        results = compute_metrics_offline(
+            str(base / "gt"), methods, str(base / "metrics")
+        )
+        print(json.dumps(results, indent=2))
     else:
         raise SystemExit(f"unknown mode {cfg.mode}")
 

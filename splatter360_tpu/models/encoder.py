@@ -75,6 +75,10 @@ class EncoderConfig:
     # mono branch
     add_mono_feat: bool = False
     vit_type: str = "vits"
+    # epipolar cross-attention ablation (ref use_epipolar_trans,
+    # encoder_costvolume.py:41-76 + epipolar_sampler.py)
+    use_epipolar_trans: bool = False
+    epipolar_num_samples: int = 32
 
 
 class EncoderCostVolume360(nn.Module):
@@ -165,6 +169,17 @@ class EncoderCostVolume360(nn.Module):
         cnn_fused = CEELayer(c, name="fuse2")(cnn_erp, cnn_features)
         trans_fused = trans_fused.reshape(b, v, fh, fw, c)
         cnn_fused = cnn_fused.reshape(b, v, fh, fw, c)
+
+        # ---- (4b) optional spherical epipolar cross-attention (ablation)
+        if cfg.use_epipolar_trans:
+            from .epipolar import EpipolarCrossAttention
+
+            trans_fused = EpipolarCrossAttention(
+                d_model=c,
+                num_samples=cfg.epipolar_num_samples,
+                depth_sampling_type=cfg.depth_sampling_type,
+                name="epipolar_trans",
+            )(trans_fused, extrinsics_sphere, near, far)
 
         # ---- (5) cost volume depth prediction
         adapter_cfg = cfg.gaussian_adapter

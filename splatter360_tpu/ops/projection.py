@@ -32,17 +32,58 @@ class Projected(NamedTuple):
     valid: jnp.ndarray   # [N] bool
 
 
-def _cov2d_from_jacobian(j, w2c_rot, covs):
-    """j: [N, 2, 3] d(pixel)/d(p_cam); covs: [N, 3, 3] world. Returns [N, 2, 2]."""
-    t = jnp.einsum("nij,jk->nik", j, w2c_rot)  # [N, 2, 3] d(pixel)/d(p_world)
-    return jnp.einsum("nij,njk,nlk->nil", t, covs, t)
+def _to_cam(rot, t, means):
+    """World->camera transform returning [N] component vectors (no [N,3] relayout)."""
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    x = rot[0, 0] * mx + rot[0, 1] * my + rot[0, 2] * mz + t[0]
+    y = rot[1, 0] * mx + rot[1, 1] * my + rot[1, 2] * mz + t[1]
+    z = rot[2, 0] * mx + rot[2, 1] * my + rot[2, 2] * mz + t[2]
+    return x, y, z
 
 
-def _finalize(mean2d, cov2d, depth, valid, eps2d=0.3, max_radius=None):
-    cov2d = cov2d + eps2d * jnp.eye(2, dtype=cov2d.dtype)
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+def _rotate_rows(w2c_rot, du, dv):
+    """Fold the (constant) world->cam rotation into two Jacobian rows given as
+    [N]-scalar triples. Scalarized on purpose: tiny [N,2,3]/[N,3,3] einsums force
+    Mosaic relayouts and run ~7x slower than plain VPU mul-adds at N~1M (measured
+    on v5e, scripts/bench_projection.py)."""
+    rows = []
+    for d0, d1, d2 in (du, dv):
+        rows.append(tuple(
+            d0 * w2c_rot[0, k] + d1 * w2c_rot[1, k] + d2 * w2c_rot[2, k]
+            for k in range(3)
+        ))
+    return rows
+
+
+def _cov2d_scalar(w2c_rot, du, dv, covs):
+    """2D covariance (a, b, c) from scalarized Jacobian rows and world covs.
+
+    du/dv: triples of [N] arrays = d(pixel)/d(p_cam) rows; covs [N, 3, 3].
+    Computes T Σ Tᵀ with T = J @ R as pure elementwise [N] math.
+    """
+    (t00, t01, t02), (t10, t11, t12) = _rotate_rows(w2c_rot, du, dv)
+    cf = covs.reshape(-1, 9)
+    s00, s01, s02 = cf[:, 0], cf[:, 1], cf[:, 2]
+    s11, s12, s22 = cf[:, 4], cf[:, 5], cf[:, 8]
+
+    # Σ·tᵀ rows reused across the three quadratic forms.
+    p0 = s00 * t00 + s01 * t01 + s02 * t02
+    p1 = s01 * t00 + s11 * t01 + s12 * t02
+    p2 = s02 * t00 + s12 * t01 + s22 * t02
+    a = t00 * p0 + t01 * p1 + t02 * p2
+    b = t10 * p0 + t11 * p1 + t12 * p2
+    q0 = s00 * t10 + s01 * t11 + s02 * t12
+    q1 = s01 * t10 + s11 * t11 + s12 * t12
+    q2 = s02 * t10 + s12 * t11 + s22 * t12
+    c = t10 * q0 + t11 * q1 + t12 * q2
+    return a, b, c
+
+
+def _finalize(u, v, a, b, c, depth, valid, eps2d=0.3, max_radius=None):
+    """Pack scalarized projection results into a Projected tuple."""
+    mean2d = jnp.stack([u, v], axis=-1)
+    a = a + eps2d
+    c = c + eps2d
     det = a * c - b * b
     det_safe = jnp.where(det > 1e-12, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
@@ -71,8 +112,7 @@ def project_pinhole(
     h, w = image_shape
     w2c = inverse_se3(c2w)
     rot = w2c[:3, :3]
-    p = jnp.einsum("ij,nj->ni", rot, means) + w2c[:3, 3]
-    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    x, y, z = _to_cam(rot, w2c[:3, 3], means)
 
     fx = intrinsics[0, 0] * w
     fy = intrinsics[1, 1] * h
@@ -91,18 +131,12 @@ def project_pinhole(
 
     u = fx * x / z_safe + cx - 0.5
     v = fy * y / z_safe + cy - 0.5
-    mean2d = jnp.stack([u, v], axis=-1)
 
     zero = jnp.zeros_like(z_safe)
-    j = jnp.stack(
-        [
-            jnp.stack([fx / z_safe, zero, -fx * tx / z_safe], axis=-1),
-            jnp.stack([zero, fy / z_safe, -fy * ty / z_safe], axis=-1),
-        ],
-        axis=-2,
-    )  # [N, 2, 3]
-    cov2d = _cov2d_from_jacobian(j, rot, covs)
-    return _finalize(mean2d, cov2d, z, valid, eps2d, max_radius=float(max(h, w)))
+    du = (fx / z_safe, zero, -fx * tx / z_safe)
+    dv = (zero, fy / z_safe, -fy * ty / z_safe)
+    a, b, c = _cov2d_scalar(rot, du, dv, covs)
+    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=float(max(h, w)))
 
 
 def project_erp(
@@ -124,8 +158,7 @@ def project_erp(
     h, w = image_shape
     w2c = inverse_se3(c2w)
     rot = w2c[:3, :3]
-    p = jnp.einsum("ij,nj->ni", rot, means) + w2c[:3, 3]
-    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    x, y, z = _to_cam(rot, w2c[:3, 3], means)
 
     rho2 = x * x + z * z
     r2 = rho2 + y * y
@@ -141,32 +174,27 @@ def project_erp(
     phi = jnp.arctan2(y, rho_safe)
     u = (-theta / (2 * math.pi) + 0.5) * w - 0.5
     v = (-phi / math.pi + 0.5) * h - 0.5
-    mean2d = jnp.stack([u, v], axis=-1)
 
     # du/dp = -W/(2pi) * dtheta/dp; dtheta/dp = (z/rho2, 0, -x/rho2)
     ku = -w / (2 * math.pi)
     kv = -h / math.pi
-    du = jnp.stack(
-        [ku * z / rho2_safe, jnp.zeros_like(x), -ku * x / rho2_safe], axis=-1
-    )
+    du = (ku * z / rho2_safe, jnp.zeros_like(x), -ku * x / rho2_safe)
     # dphi/dp = (-x y / (r2 rho), rho / r2, -z y / (r2 rho))
-    dv = jnp.stack(
-        [
-            -kv * x * y / (r2_safe * rho_safe),
-            kv * rho_safe / r2_safe,
-            -kv * z * y / (r2_safe * rho_safe),
-        ],
-        axis=-1,
+    dv = (
+        -kv * x * y / (r2_safe * rho_safe),
+        kv * rho_safe / r2_safe,
+        -kv * z * y / (r2_safe * rho_safe),
     )
-    j = jnp.stack([du, dv], axis=-2)  # [N, 2, 3]
-    cov2d = _cov2d_from_jacobian(j, rot, covs)
-    # Radius cap: (a) half the image height bounds pole blow-up; (b) W/2 - 65 keeps a
+    a, b, c = _cov2d_scalar(rot, du, dv, covs)
+    from .tiling import TILE_W  # late import (tiling imports Projected from here)
+
+    # Radius cap: (a) half the image height bounds pole blow-up; (b) W/2-TILE_W/2-1 keeps a
     # splat's footprint within half the azimuth range minus a tile width, which lets
     # the tiled compositor evaluate the seam-wrapped quadratic exactly with a single
     # per-tile re-centering shift (ops/pallas/composite.py). Applied identically in
     # every backend so dense/jax/pallas stay bit-comparable.
-    max_radius = float(min(h // 2, max(w // 2 - 65, 8)))
-    return _finalize(mean2d, cov2d, r, valid, eps2d, max_radius=max_radius)
+    max_radius = float(min(h // 2, max(w // 2 - TILE_W // 2 - 1, 8)))
+    return _finalize(u, v, a, b, c, r, valid, eps2d, max_radius=max_radius)
 
 
 def sh_colors(

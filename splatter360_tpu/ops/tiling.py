@@ -25,6 +25,7 @@ never lands in the same tile twice.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -32,10 +33,20 @@ import jax.numpy as jnp
 
 from .projection import Projected
 
-TILE_H = 16
-TILE_W = 128
-SPAN_W = 4   # big-tier max tiles horizontally (4 * 128 = 512 px)
-SPAN_H = 8   # big-tier max tiles vertically   (8 * 16  = 128 px)
+# Tile geometry is env-overridable (SPLAT360_TILE="16x64") for bench sweeps; the
+# default is the measured-best shape on v5e. Pixel count per tile (TILE_H*TILE_W)
+# sets the sublane extent of the compositing kernels; the instance chunk (BLOCK)
+# stays 128 lanes regardless.
+_tile_env = os.environ.get("SPLAT360_TILE")
+if _tile_env:
+    TILE_H, TILE_W = (int(x) for x in _tile_env.lower().split("x"))
+else:
+    TILE_H, TILE_W = 16, 128
+BLOCK = 128  # instance chunk granularity (== pallas kernel CHUNK)
+# Big-tier rectangles cover the same pixel extent regardless of tile shape:
+# 512 px wide x 128 px tall (pole-stretched ERP splats).
+SPAN_W = max(512 // TILE_W, 2)
+SPAN_H = max(128 // TILE_H, 2)
 _DEPTH_BITS = 20
 _SENTINEL = jnp.int32(0x7FFFFFFF)
 
@@ -88,6 +99,10 @@ def assign_tiles(
 ) -> TileAssignment:
     nty, ntx = num_tiles(image_shape)
     t_total = ntx * nty
+    # key = tile_id << _DEPTH_BITS | depth must stay positive in int32
+    assert t_total < (1 << (31 - _DEPTH_BITS)), (
+        f"{t_total} tiles overflow the sort key; use larger tiles"
+    )
     n = proj.mean2d.shape[0]
     n_big = big_cap if big_cap is not None else max(n // 32, 256)
     # Post-sort truncation cap: real instances sort before sentinels, so keeping the
@@ -95,7 +110,7 @@ def assign_tiles(
     # `dropped`). This bounds every downstream per-index cost (pack gather, kernel
     # blocks, gradient scatter-add).
     cap = instance_cap if instance_cap is not None else max(5 * n // 2, 4096)
-    cap = -(-cap // TILE_W) * TILE_W
+    cap = -(-cap // BLOCK) * BLOCK
 
     u = proj.mean2d[:, 0]
     v = proj.mean2d[:, 1]
@@ -142,7 +157,7 @@ def assign_tiles(
     gidx = jnp.concatenate([gidx_small, gidx_big])
     # pad K to a block multiple for the kernel's block-granular DMA
     k = keys.shape[0]
-    k_pad = -(-k // TILE_W) * TILE_W
+    k_pad = -(-k // BLOCK) * BLOCK
     keys = jnp.pad(keys, (0, k_pad - k), constant_values=_SENTINEL)
     gidx = jnp.pad(gidx, (0, k_pad - k))
 

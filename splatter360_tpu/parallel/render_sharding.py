@@ -1,0 +1,148 @@
+"""Renderer-internal multi-chip sharding (SURVEY.md §7 M6; §2.10 "TPU equivalent"
+row for sequence/context parallelism).
+
+The reference serializes its ~1M-Gaussian render per face per batch item on one
+GPU (decoder_splatting_cuda.py:47, cuda_splatting.py:91). Here the render itself
+scales over the mesh — the role ring-attention/CP plays in LLM stacks:
+
+  1. Gaussians are sharded over the mesh axis; each device projects its shard
+     to compact 2D screen params (12 floats/splat) — N/n_dev projection work.
+  2. One `all_gather` of the packed 2D params rides ICI (~48 MB at 1M splats,
+     ~1 ms on v5e) — far cheaper than gathering full 3D Gaussians (~350 MB).
+  3. The image is split into horizontal tile-row BANDS, one per device. Each
+     device bins + sorts + composites only splats intersecting its band
+     (sort/composite work is ~1/n_dev), producing its band of the image.
+  4. Backward: the all_gather transposes to a reduce-scatter of 2D-param
+     gradients (every band contributes grads for any splat), then local
+     projection transpose yields 3D gradients for the device's own shard —
+     the gradient psum is overlapped with compositing by XLA.
+
+Static shapes throughout; bands must align with tile rows
+(h % (TILE_H * n_dev) == 0 — 512×1024 with 16-row tiles supports 1..32 devices).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops.projection import Projected, project_erp, sh_colors
+from ..ops.rasterizer_ref import RenderOutput
+from ..ops.tiling import TILE_H, assign_tiles
+from ..ops.composite_jax import composite_tiles_jax
+
+
+def _pad_to_multiple(x, n, axis=0):
+    size = x.shape[axis]
+    pad = (-size) % n
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def render_erp_sharded(
+    means: jnp.ndarray,       # [N, 3]
+    covariances: jnp.ndarray, # [N, 3, 3]
+    harmonics: jnp.ndarray,   # [N, 3, d_sh]
+    opacities: jnp.ndarray,   # [N]
+    c2w: jnp.ndarray,         # [4, 4]
+    image_shape: tuple[int, int],
+    mesh: Mesh,
+    axis: str = "data",
+    near: float = 0.1,
+    background: Optional[jnp.ndarray] = None,
+    sh_degree: Optional[int] = None,
+    render_depth: bool = False,
+    backend: str = "pallas",
+    max_per_tile: int = 512,
+) -> RenderOutput:
+    """Render one ERP view with Gaussians + pixel bands sharded over `axis`."""
+    h, w = image_shape
+    n_dev = mesh.shape[axis]
+    band_h = h // n_dev
+    assert h % (TILE_H * n_dev) == 0, (
+        f"image height {h} must split into {n_dev} tile-row-aligned bands"
+    )
+    if background is None:
+        background = jnp.zeros((3,), means.dtype)
+    if sh_degree is None:
+        sh_degree = int(math.isqrt(harmonics.shape[-1]) - 1)
+
+    n = means.shape[0]
+    means_p = _pad_to_multiple(means, n_dev)
+    covs_p = _pad_to_multiple(covariances, n_dev)
+    sh_p = _pad_to_multiple(harmonics, n_dev)
+    op_p = _pad_to_multiple(opacities, n_dev)  # zero-padded: contributes nothing
+
+    def shard_fn(means_s, covs_s, sh_s, op_s, c2w_r, bg_r):
+        # (1) project the local Gaussian shard
+        proj = project_erp(means_s, covs_s, c2w_r, (h, w), near)
+        if sh_s.shape[-1] == 1:
+            cols = sh_s[..., 0]
+        else:
+            cols = sh_colors(sh_s, means_s, c2w_r[:3, 3], sh_degree)
+        packed = jnp.concatenate(
+            [
+                proj.mean2d, proj.conic, cols,
+                op_s[:, None], proj.depth[:, None], proj.radius[:, None],
+                proj.valid.astype(means_s.dtype)[:, None],
+            ],
+            axis=-1,
+        )  # [N/n, 12]
+        # (2) all_gather compact 2D params over ICI
+        packed = jax.lax.all_gather(packed, axis, tiled=True)  # [N, 12]
+        mean2d = packed[:, 0:2]
+        conic = packed[:, 2:5]
+        cols_g = packed[:, 5:8]
+        op_g = packed[:, 8]
+        depth_g = packed[:, 9]
+        radius_g = packed[:, 10]
+        valid_g = packed[:, 11] > 0.5
+
+        # (3) bin + composite only this device's band of tile rows
+        band = jax.lax.axis_index(axis)
+        y0 = (band * band_h).astype(mean2d.dtype)
+        v_loc = mean2d[:, 1] - y0
+        in_band = (v_loc + radius_g >= 0.0) & (v_loc - radius_g < band_h)
+        band_proj = Projected(
+            mean2d=jnp.stack([mean2d[:, 0], v_loc], axis=-1),
+            conic=conic,
+            depth=depth_g,
+            radius=radius_g,
+            valid=valid_g & in_band,
+        )
+        assignment = assign_tiles(band_proj, (band_h, w), wrap_x=True)
+        if backend == "pallas":
+            from ..ops.pallas.composite import composite_tiles_pallas
+
+            rgb, alpha, dacc = composite_tiles_pallas(
+                assignment, band_proj.mean2d, conic, cols_g, op_g,
+                depth_g, radius_g, (band_h, w), bg_r, True,
+            )
+        else:
+            rgb, alpha, dacc = composite_tiles_jax(
+                assignment, band_proj.mean2d, conic, cols_g, op_g,
+                depth_g, radius_g, (band_h, w), bg_r, True,
+                max_per_tile=max_per_tile,
+            )
+        return rgb, alpha, dacc
+
+    rgb, alpha, dacc = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+        check_rep=False,
+    )(means_p, covs_p, sh_p, op_p, c2w, background)
+
+    return RenderOutput(
+        color=rgb, depth=dacc if render_depth else None, alpha=alpha
+    )

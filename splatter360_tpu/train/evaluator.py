@@ -126,10 +126,11 @@ class Evaluator:
                 )
             if cfg.test.save_video:
                 try:
+                    traj = getattr(cfg.test, "video_trajectory", "interpolate")
                     self.render_video(
                         gaussians, ctx["extrinsics_sphere"][0],
                         float(tgt["near"][0, 0]), float(tgt["far"][0, 0]),
-                        self.out / scene / "interpolation.mp4",
+                        self.out / scene / f"{traj}.mp4", trajectory=traj,
                     )
                 except Exception as e:  # video export must not abort scoring
                     print(f"warning: video export failed for {scene}: {e}")
@@ -138,13 +139,27 @@ class Evaluator:
         self.finalize(scores, skip=cfg.test.eval_time_skip_steps)
         return scores
 
-    def render_video(self, gaussians, ctx_extr, near, far, path, n_frames=60):
-        """Interpolated-trajectory video between the two context poses
-        (render_video_interpolation parity, model_wrapper_erp.py:726-742)."""
+    def render_video(self, gaussians, ctx_extr, near, far, path, n_frames=60,
+                     trajectory: str = "interpolate"):
+        """Trajectory video (render_video_generic parity,
+        model_wrapper_erp.py:726-742,891-979): 6D-interpolation between the two
+        context poses (default), or wobble/spin around the first context pose."""
+        from ..geometry.transforms import trajectory_spin, trajectory_wobble
+
         ts = np.linspace(0, 1, n_frames)
         frames = []
         for t in ts:
-            pose = interpolate_pose_6d(ctx_extr[0], ctx_extr[-1], float(t))
+            if trajectory == "wobble":
+                baseline = float(
+                    np.linalg.norm(
+                        np.asarray(ctx_extr[-1][:3, 3] - ctx_extr[0][:3, 3])
+                    )
+                )
+                pose = trajectory_wobble(ctx_extr[0], 0.25 * baseline, float(t))
+            elif trajectory == "spin":
+                pose = trajectory_spin(ctx_extr[0], float(t))
+            else:
+                pose = interpolate_pose_6d(ctx_extr[0], ctx_extr[-1], float(t))
             out = self._decode_erp(
                 gaussians,
                 pose[None, None],

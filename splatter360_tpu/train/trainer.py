@@ -149,6 +149,16 @@ class Validator:
             if enc_d.ndim == 3:
                 enc_d = enc_d[..., 0]
             save_image(apply_depth_colormap(enc_d), vdir / "encoder_depth.png")
+        try:
+            from ..models.visualizer import visualize_gaussians
+
+            sheet = visualize_gaussians(
+                gaussians, pred_depth, ctx["image_sphere"],
+                tuple(self.cfg.dataset.image_shape),
+            )
+            save_image(sheet, vdir / "encoder_vis.png")
+        except Exception as e:
+            print(f"warning: encoder visualizer failed: {e}")
 
         try:
             extr = ctx["extrinsics_sphere"][0]

@@ -8,6 +8,8 @@ import os
 
 # Force CPU: the ambient environment points JAX at the (single, shared) TPU tunnel
 # (JAX_PLATFORMS=axon); unit tests must run on the virtual CPU mesh instead.
+# NOTE: sitecustomize imports jax at interpreter start, so setting the env var
+# here is NOT enough — jax.config.update("jax_platforms") below is what works.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -17,6 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # XLA:CPU's oneDNN path runs f32 dots in bf16-ish fastmath by default; pin full f32 so
 # allclose tests are meaningful. (TPU kernels set their precision explicitly.)

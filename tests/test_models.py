@@ -129,3 +129,28 @@ def test_train_step_erp_supervision():
     s, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
     assert "psnr" in m
+
+
+def test_epipolar_cross_attention():
+    """EpipolarCrossAttention: shape-preserving, finite, and pose-sensitive."""
+    import jax
+    import jax.numpy as jnp
+
+    from splatter360_tpu.models.epipolar import EpipolarCrossAttention
+
+    b, v, h, w, c = 1, 2, 8, 16, 16
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(rng, (b, v, h, w, c))
+    extr = jnp.broadcast_to(jnp.eye(4), (b, v, 4, 4))
+    extr = extr.at[:, 1, 0, 3].set(0.5)  # translate view 1
+    near = jnp.full((b, v), 0.5)
+    far = jnp.full((b, v), 10.0)
+    mod = EpipolarCrossAttention(d_model=c, num_samples=8)
+    params = mod.init(rng, feats, extr, near, far)
+    out = mod.apply(params, feats, extr, near, far)
+    assert out.shape == feats.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # a different relative pose must change the gathered samples
+    extr2 = extr.at[:, 1, 1, 3].set(0.7)
+    out2 = mod.apply(params, feats, extr2, near, far)
+    assert not bool(jnp.allclose(out, out2, atol=1e-5))
