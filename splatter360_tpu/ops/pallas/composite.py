@@ -47,10 +47,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..tiling import TILE_H, TILE_W, TileAssignment
+from ..tiling import BLOCK, TILE_H, TILE_W, TileAssignment
 
-CHUNK = 128
-N_PIX = TILE_H * TILE_W  # 2048
+CHUNK = BLOCK  # 128 instance lanes per chunk
+N_PIX = TILE_H * TILE_W  # pixels per tile (sublane extent of the kernels)
 ROWS = 16  # packed instance rows: u v a b c o cr cg cb depth radius pad...
 
 _NEG_CUTOFF = -4.5
@@ -61,6 +61,7 @@ _LOG_T_EPS = -9.21034  # log(1e-4)
 # Experiment knobs (read at import; used by bench sweeps).
 _PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,      # bf16x3: ~f32 mantissa on MXU, 2x HIGHEST
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("SPLAT360_KERNEL_PRECISION", "highest")]
 _EARLY_EXIT = os.environ.get("SPLAT360_KERNEL_EARLY_EXIT", "1") == "1"
@@ -171,7 +172,7 @@ def _forward_kernel(
     def _():
         in_copy(0, 0).start()
 
-    def body(j, _):
+    def body(j, n_processed):
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < n_blocks)
@@ -180,7 +181,13 @@ def _forward_kernel(
 
         in_copy(slot, j).wait()
 
-        @pl.when(jnp.max(tacc[:]) >= _LOG_T_EPS if _EARLY_EXIT else j >= 0)
+        # Once every pixel in the tile saturates, skip the remaining blocks
+        # permanently (tacc is frozen, so `live` stays False). The count of
+        # processed blocks is exported so the backward can telescope its
+        # suffix over exactly the blocks the forward accumulated.
+        live = (jnp.max(tacc[:]) >= _LOG_T_EPS) if _EARLY_EXIT else (j >= 0)
+
+        @pl.when(live)
         def _():
             data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
 
@@ -197,23 +204,24 @@ def _forward_kernel(
             racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
             tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
 
-        return 0
+        return n_processed + live.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, n_blocks, body, 0)
+    n_processed = jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
 
     planes = jnp.concatenate(
         [racc[:, 0:4], jnp.exp(tacc[:]), tacc[:],
-         jnp.zeros((N_PIX, 2), jnp.float32)], axis=1
-    )  # r g b depth T logT 0 0
+         jnp.full((N_PIX, 1), n_processed.astype(jnp.float32)),
+         jnp.zeros((N_PIX, 1), jnp.float32)], axis=1
+    )  # r g b depth T logT n_processed 0
     acc_ref[:] = planes.T  # one [N_PIX, 8] -> [8, N_PIX] transpose per tile
 
 
 def _backward_kernel(
-    starts_ref, counts_ref, obase_ref,
+    starts_ref, counts_ref, obase_ref, nproc_ref,
     inst_ref,                # HBM [NBLK, ROWS, CHUNK]
     gacc_ref,                # [8, N_PIX]: gr gg gb gdepth gT T_final 0 0
     dout_ref,                # out HBM [NBLK_OUT, ROWS, CHUNK] tile-owned blocks
-    bufs, grad_bufs, psum_scratch, sems, out_sems,
+    bufs, grad_bufs, psum_scratch, slg_scratch, sems, out_sems,
     *, ntx, w_img, wrap_x,
 ):
     tid = pl.program_id(0)
@@ -223,6 +231,7 @@ def _backward_kernel(
     start = starts_ref[tid]
     count = counts_ref[tid]
     obase = obase_ref[tid]
+    nproc = nproc_ref[tid]  # blocks the forward actually accumulated
     blk0 = start // CHUNK
     n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
 
@@ -262,66 +271,76 @@ def _backward_kernel(
         def _():
             out_copy(slot, j + 2).wait()
 
-        data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
-
-        alpha, dx, dy, a, b, c, o = _chunk_alpha(data, px, py, w_img, wrap_x)
-        lg = jnp.log1p(-alpha)
-        sum_lg = jnp.sum(lg, axis=1, keepdims=True)
-        # T at block end/start from the full (unmasked) decay — no fixed point.
-        log_t_end = lt_final - log_t_suffix
-        log_t_start = log_t_end - sum_lg
-
         psum_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+        slg_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
         grad_bufs[slot] = jnp.zeros((ROWS, CHUNK), jnp.float32)
 
-        # Skip the gradient math when every pixel was already saturated before
-        # this (deeper) block: t <= t_start < eps => no contributions here.
-        @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
+        # Blocks the forward early-exited (j >= nproc) had exactly zero weight
+        # and zero effect on the outputs: no gradients, their absorbance must
+        # not enter the telescoping suffix (lt_final excludes them), and all
+        # the alpha math can be skipped wholesale.
+        @pl.when(j < nproc)
         def _():
-            e = _contract(lg, mup, ((1,), (0,)))
-            t_i = jnp.exp(log_t_start + e)
-            contrib = t_i * (1.0 - alpha) >= _T_EPS
-            w = jnp.where(contrib, alpha * t_i, 0.0)
-
-            cd = data[6:10, :]  # [4, CHUNK]
-            # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
-            gamma = _contract(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
-            psi = w * gamma
-            # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
-            suffix = _contract(psi, mlow, ((1,), (0,)))
-
-            g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
-            g_alpha = jnp.where(contrib, g_alpha, 0.0)
-            # d alpha / d power = alpha below the 0.99 cap (pass-through, as CUDA)
-            g_p = g_alpha * alpha  # [N_PIX, CHUNK]
-
-            # color/depth grads: dL/dcd[c, k] = sum_p g_rgbd[c, p] w[p, k]  (MXU)
-            g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
-            g_o = jnp.sum(g_p, axis=0, keepdims=True) / jnp.maximum(o, 1e-12)
-
-            # direct derivatives of the power form (exact, sublane reductions)
-            g_a = jnp.sum(g_p * (-0.5 * dx * dx), axis=0, keepdims=True)
-            g_b = jnp.sum(g_p * (-dx * dy), axis=0, keepdims=True)
-            g_c = jnp.sum(g_p * (-0.5 * dy * dy), axis=0, keepdims=True)
-            g_u = jnp.sum(g_p * (a * dx + b * dy), axis=0, keepdims=True)
-            g_v = jnp.sum(g_p * (c * dy + b * dx), axis=0, keepdims=True)
-
-            grad = jnp.concatenate(
-                [
-                    g_u, g_v, g_a, g_b, g_c, g_o, g_cd,
-                    jnp.zeros((ROWS - 10, CHUNK), jnp.float32),
-                ],
-                axis=0,
-            )  # [ROWS, CHUNK]
-            grad_bufs[slot] = jnp.where(
-                _segment_mask(blk0, j, start, count), grad, 0.0
+            data = jnp.where(
+                _segment_mask(blk0, j, start, count), bufs[slot], 0.0
             )
-            psum_scratch[:] = jnp.sum(psi, axis=1, keepdims=True)
+            alpha, dx, dy, a, b, c, o = _chunk_alpha(data, px, py, w_img, wrap_x)
+            lg = jnp.log1p(-alpha)
+            sum_lg = jnp.sum(lg, axis=1, keepdims=True)
+            # T at block end/start from the full (unmasked) decay — no fixed
+            # point.
+            log_t_end = lt_final - log_t_suffix
+            log_t_start = log_t_end - sum_lg
+            slg_scratch[:] = sum_lg
+
+            # Skip the gradient math when every pixel was already saturated
+            # before this (deeper) block: t <= t_start < eps => nothing here.
+            @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
+            def _():
+                e = _contract(lg, mup, ((1,), (0,)))
+                t_i = jnp.exp(log_t_start + e)
+                contrib = t_i * (1.0 - alpha) >= _T_EPS
+                w = jnp.where(contrib, alpha * t_i, 0.0)
+
+                cd = data[6:10, :]  # [4, CHUNK]
+                # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
+                gamma = _contract(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
+                psi = w * gamma
+                # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
+                suffix = _contract(psi, mlow, ((1,), (0,)))
+
+                g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
+                g_alpha = jnp.where(contrib, g_alpha, 0.0)
+                # d alpha / d power = alpha below the 0.99 cap (as CUDA)
+                g_p = g_alpha * alpha  # [N_PIX, CHUNK]
+
+                # color/depth grads: dL/dcd[c,k] = sum_p g_rgbd[c,p] w[p,k]
+                g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
+                g_o = jnp.sum(g_p, axis=0, keepdims=True) / jnp.maximum(o, 1e-12)
+
+                # direct derivatives of the power form (sublane reductions)
+                g_a = jnp.sum(g_p * (-0.5 * dx * dx), axis=0, keepdims=True)
+                g_b = jnp.sum(g_p * (-dx * dy), axis=0, keepdims=True)
+                g_c = jnp.sum(g_p * (-0.5 * dy * dy), axis=0, keepdims=True)
+                g_u = jnp.sum(g_p * (a * dx + b * dy), axis=0, keepdims=True)
+                g_v = jnp.sum(g_p * (c * dy + b * dx), axis=0, keepdims=True)
+
+                grad = jnp.concatenate(
+                    [
+                        g_u, g_v, g_a, g_b, g_c, g_o, g_cd,
+                        jnp.zeros((ROWS - 10, CHUNK), jnp.float32),
+                    ],
+                    axis=0,
+                )  # [ROWS, CHUNK]
+                grad_bufs[slot] = jnp.where(
+                    _segment_mask(blk0, j, start, count), grad, 0.0
+                )
+                psum_scratch[:] = jnp.sum(psi, axis=1, keepdims=True)
 
         out_copy(slot, j).start()
 
         return (
-            log_t_suffix + sum_lg,
+            log_t_suffix + slg_scratch[:],
             a_psi + psum_scratch[:],
         )
 
@@ -435,12 +454,14 @@ def _composite_core_fwd(
 ):
     acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
     t = nty * ntx
-    lt_final = acc.reshape(t, 8, N_PIX)[:, 5, :]  # [T, N_PIX] log T
-    return acc, (inst, starts, counts, tile_ids, lt_final)
+    planes = acc.reshape(t, 8, N_PIX)
+    lt_final = planes[:, 5, :]  # [T, N_PIX] log T
+    nproc = planes[:, 6, 0].astype(jnp.int32)  # [T] blocks processed (early exit)
+    return acc, (inst, starts, counts, tile_ids, lt_final, nproc)
 
 
 def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
-    inst, starts, counts, tile_ids, lt_final = res
+    inst, starts, counts, tile_ids, lt_final, nproc = res
     t = nty * ntx
     nblk_in = inst.shape[0]
     obase, nblk_out = _out_block_layout(starts, counts, nblk_in)
@@ -449,7 +470,7 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
         _backward_kernel, ntx=ntx, w_img=float(w_img), wrap_x=wrap_x
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(t,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -461,7 +482,8 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # psi suffix-sum carry
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # sum_lg of the current block
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -479,7 +501,7 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(starts, counts, obase, inst, combined)
+    )(starts, counts, obase, nproc, inst, combined)
 
     # map tile-owned output blocks back to instance order:
     #   opos(p) = p + (obase[tile] - blk0[tile]) * CHUNK

@@ -69,3 +69,67 @@ def test_pallas_backward_matches_jax(scene):
         np.testing.assert_allclose(
             b / scale, a / scale, atol=2e-3, err_msg=name
         )
+
+
+def _saturating_scene():
+    """A scene whose tile 0 fully saturates after ~6 of ~21 blocks.
+
+    Dense opaque blobs tiled over every pixel of the 32x256 image: regression
+    geometry for the forward early exit (which only fires when ALL pixels of a
+    tile saturate). Verified to give nproc < n_blocks for the pallas kernel.
+    """
+    import math
+
+    from splatter360_tpu.geometry.transforms import build_covariance
+
+    hh, ww = 32, 256
+    u_centers = np.arange(6.0, 128.0, 12.0)
+    v_centers = np.arange(2.5, 32.0, 5.0)  # sigma_y ~2.6 px at this aspect
+    depths = np.linspace(1.0, 6.0, 40)
+    focal = ww / (2 * math.pi)
+    means, scales = [], []
+    for d in depths:
+        for u in u_centers:
+            for vv in v_centers:
+                theta = (0.5 - (u + 0.5) / ww) * 2 * math.pi
+                phi = (0.5 - (vv + 0.5) / hh) * math.pi
+                dirv = np.array([
+                    math.cos(phi) * math.sin(theta), math.sin(phi),
+                    math.cos(phi) * math.cos(theta),
+                ])
+                means.append(dirv * d)
+                s = 10.0 * d / focal
+                scales.append([s, s, s])
+    means = jnp.asarray(np.array(means), jnp.float32)
+    n = means.shape[0]
+    covs = build_covariance(
+        jnp.asarray(np.array(scales), jnp.float32),
+        jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+    )
+    sh = 0.3 * jax.random.normal(jax.random.PRNGKey(8), (n, 3, 9))
+    sh = sh.at[..., 0].add(0.5)
+    return (hh, ww), means, covs, sh, jnp.full((n,), 0.92)
+
+
+def test_pallas_backward_early_exit_saturated():
+    """The forward's early exit stops accumulating log-T mid-segment; the
+    backward must telescope its suffix over exactly the processed blocks
+    (pre-fix this produced NaN/zero gradients on saturating scenes)."""
+    (hh, ww), means, covs, sh, opac = _saturating_scene()
+    target = jnp.zeros((hh, ww, 3))
+
+    def loss(backend, means, covs, sh, op):
+        out = render_tiled(
+            means, covs, sh, op, jnp.eye(4), (hh, ww), camera_kind="erp",
+            backend=backend, max_per_tile=4096,
+        )
+        return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+    args = (means, covs, sh, opac)
+    g_jax = jax.grad(functools.partial(loss, "jax"), argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_jax, g_pal, ["means", "covs", "sh", "opac"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(b)), f"{name}: non-finite pallas grads"
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
