@@ -23,7 +23,7 @@ def composite_tiles_jax(
     colors: jnp.ndarray,    # [N, C]
     opacities: jnp.ndarray, # [N]
     depths: jnp.ndarray,    # [N]
-    radii: jnp.ndarray,     # [N]
+    radii: jnp.ndarray,     # [N, 2] per-axis (rx, ry)
     image_shape: tuple[int, int],
     background: jnp.ndarray,
     wrap_x: bool,
@@ -67,7 +67,7 @@ def composite_tiles_jax(
             dy = gy - m[1]
             power = -0.5 * (cn[0] * dx * dx + cn[2] * dy * dy) - cn[1] * dx * dy
             alpha = jnp.minimum(0.99, o * jnp.exp(power))
-            inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+            inside = (jnp.abs(dx) <= r[0]) & (jnp.abs(dy) <= r[1])
             alpha = jnp.where(
                 inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
                 alpha, 0.0

@@ -51,7 +51,7 @@ from ..tiling import BLOCK, TILE_H, TILE_W, TileAssignment
 
 CHUNK = BLOCK  # 128 instance lanes per chunk
 N_PIX = TILE_H * TILE_W  # pixels per tile (sublane extent of the kernels)
-ROWS = 16  # packed instance rows: u v a b c o cr cg cb depth radius pad...
+ROWS = 16  # packed instance rows: u v a b c o cr cg cb depth rx ry pad...
 
 _NEG_CUTOFF = -4.5
 _ALPHA_MIN = 1.0 / 255.0
@@ -116,7 +116,8 @@ def _chunk_alpha(data, px, py, w_img, wrap_x):
     b = data[3:4, :]
     c = data[4:5, :]
     o = data[5:6, :]
-    rad = data[10:11, :]
+    rad_x = data[10:11, :]
+    rad_y = data[11:12, :]
     if wrap_x:
         xc = px[0, 0] + TILE_W * 0.5
         u = u + w_img * jnp.round((xc - u) / w_img)
@@ -126,8 +127,8 @@ def _chunk_alpha(data, px, py, w_img, wrap_x):
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy
     alpha = o * jnp.exp(power)
     gate = (
-        (jnp.abs(dx) <= rad)
-        & (jnp.abs(dy) <= rad)
+        (jnp.abs(dx) <= rad_x)
+        & (jnp.abs(dy) <= rad_y)
         & (power > _NEG_CUTOFF)
         & (power <= 0.0)
         & (alpha >= _ALPHA_MIN)
@@ -381,8 +382,7 @@ def _pack_instances(
             opacities,
             colors[:, 0], colors[:, 1], colors[:, 2],
             depths,
-            radii,
-            jnp.zeros((n,), mean2d.dtype),
+            radii[:, 0], radii[:, 1],
             jnp.zeros((n,), mean2d.dtype),
             jnp.zeros((n,), mean2d.dtype),
             jnp.zeros((n,), mean2d.dtype),

@@ -28,7 +28,11 @@ class Projected(NamedTuple):
     mean2d: jnp.ndarray  # [N, 2] pixel coords
     conic: jnp.ndarray   # [N, 3] inverse 2D covariance (a, b, c): [[a, b], [b, c]]^-1
     depth: jnp.ndarray   # [N] sort key (camera z for pinhole, radial dist for erp)
-    radius: jnp.ndarray  # [N] max extent in pixels (3 sigma)
+    radius: jnp.ndarray  # [N, 2] per-axis extent in pixels (3 sigma marginals:
+    #   rx = 3*sqrt(cov_xx), ry = 3*sqrt(cov_yy) — the exact x/y extents of the
+    #   power > -4.5 cutoff ellipse, so per-axis boxes cull exactly what the
+    #   compositors' power gate would anyway. ERP pole-stretching is horizontal,
+    #   so ry stays small where rx blows up (anisotropic tiling footprints).
     valid: jnp.ndarray   # [N] bool
 
 
@@ -80,18 +84,22 @@ def _cov2d_scalar(w2c_rot, du, dv, covs):
 
 
 def _finalize(u, v, a, b, c, depth, valid, eps2d=0.3, max_radius=None):
-    """Pack scalarized projection results into a Projected tuple."""
+    """Pack scalarized projection results into a Projected tuple.
+
+    max_radius: optional (max_rx, max_ry) caps in pixels."""
     mean2d = jnp.stack([u, v], axis=-1)
     a = a + eps2d
     c = c + eps2d
     det = a * c - b * b
     det_safe = jnp.where(det > 1e-12, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
-    mid = 0.5 * (a + c)
-    lam_max = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.1))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lam_max))
+    # Per-axis 3-sigma marginals = exact x/y extents of the power=-4.5 ellipse.
+    rx = jnp.ceil(3.0 * jnp.sqrt(a))
+    ry = jnp.ceil(3.0 * jnp.sqrt(c))
     if max_radius is not None:
-        radius = jnp.minimum(radius, max_radius)
+        rx = jnp.minimum(rx, max_radius[0])
+        ry = jnp.minimum(ry, max_radius[1])
+    radius = jnp.stack([rx, ry], axis=-1)
     valid = valid & (det > 1e-12)
     return Projected(mean2d, conic, depth, radius, valid)
 
@@ -136,7 +144,47 @@ def project_pinhole(
     du = (fx / z_safe, zero, -fx * tx / z_safe)
     dv = (zero, fy / z_safe, -fy * ty / z_safe)
     a, b, c = _cov2d_scalar(rot, du, dv, covs)
-    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=float(max(h, w)))
+    mr = float(max(h, w))
+    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=(mr, mr))
+
+
+def project_ortho(
+    means: jnp.ndarray,
+    covs: jnp.ndarray,
+    c2w: jnp.ndarray,
+    extent: float | jnp.ndarray,
+    image_shape: tuple[int, int],
+    near: jnp.ndarray | float = 0.0,
+    far: jnp.ndarray | float = jnp.inf,
+    eps2d: float = 0.3,
+) -> Projected:
+    """Orthographic projection (paper-figure rendering parity).
+
+    Mirrors the reference's figures-only orthographic rasterizer path
+    (/root/reference/src/model/decoder/cuda_splatting.py:129-221, used by
+    src/paper/* point-cloud/teaser generation): camera looks down +z, the
+    world-space square of side `extent` centered on the camera axis maps to
+    the full image. Jacobian is constant (fx, fy on the diagonal), so the 2D
+    covariance is an exact (not local-affine) projection.
+    """
+    h, w = image_shape
+    w2c = inverse_se3(c2w)
+    rot = w2c[:3, :3]
+    x, y, z = _to_cam(rot, w2c[:3, 3], means)
+
+    extent = jnp.asarray(extent, dtype=means.dtype)
+    fx = w / extent
+    fy = h / extent
+    u = fx * x + 0.5 * w - 0.5
+    v = fy * y + 0.5 * h - 0.5
+    valid = (z > near) & (z < far)
+
+    zero = jnp.zeros_like(x)
+    du = (fx * jnp.ones_like(x), zero, zero)
+    dv = (zero, fy * jnp.ones_like(x), zero)
+    a, b, c = _cov2d_scalar(rot, du, dv, covs)
+    mr = float(max(h, w))
+    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=(mr, mr))
 
 
 def project_erp(
@@ -188,13 +236,14 @@ def project_erp(
     a, b, c = _cov2d_scalar(rot, du, dv, covs)
     from .tiling import TILE_W  # late import (tiling imports Projected from here)
 
-    # Radius cap: (a) half the image height bounds pole blow-up; (b) W/2-TILE_W/2-1 keeps a
-    # splat's footprint within half the azimuth range minus a tile width, which lets
-    # the tiled compositor evaluate the seam-wrapped quadratic exactly with a single
-    # per-tile re-centering shift (ops/pallas/composite.py). Applied identically in
-    # every backend so dense/jax/pallas stay bit-comparable.
-    max_radius = float(min(h // 2, max(w // 2 - TILE_W // 2 - 1, 8)))
-    return _finalize(u, v, a, b, c, r, valid, eps2d, max_radius=max_radius)
+    # Radius caps: (a) half the image height bounds pole blow-up; (b) W/2-TILE_W/2-1
+    # keeps a splat's footprint within half the azimuth range minus a tile width,
+    # which lets the tiled compositor evaluate the seam-wrapped quadratic exactly
+    # with a single per-tile re-centering shift (ops/pallas/composite.py). Applied
+    # identically in every backend so dense/jax/pallas stay bit-comparable.
+    max_rx = float(min(h // 2, max(w // 2 - TILE_W // 2 - 1, 8)))
+    max_ry = float(h // 2)
+    return _finalize(u, v, a, b, c, r, valid, eps2d, max_radius=(max_rx, max_ry))
 
 
 def sh_colors(

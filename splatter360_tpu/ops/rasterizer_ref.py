@@ -20,7 +20,9 @@ from typing import Literal, Optional
 import jax
 import jax.numpy as jnp
 
-from .projection import Projected, project_erp, project_pinhole, sh_colors
+from .projection import (
+    Projected, project_erp, project_ortho, project_pinhole, sh_colors,
+)
 
 
 @dataclass(frozen=True)
@@ -79,9 +81,9 @@ def composite_dense(
         dy = yy - m[1]
         power = -0.5 * (cn[0] * dx * dx + cn[2] * dy * dy) - cn[1] * dx * dy
         alpha = jnp.minimum(0.99, o * jnp.exp(power))
-        # Hard window at the binning radius: identical semantics to the tiled path
-        # (which only composites tiles overlapping the 3-sigma box).
-        inside = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
+        # Hard window at the per-axis binning radii: identical semantics to the
+        # tiled path (which only composites tiles overlapping the 3-sigma box).
+        inside = (jnp.abs(dx) <= r[0]) & (jnp.abs(dy) <= r[1])
         alpha = jnp.where(
             inside & (power > -4.5) & (power <= 0.0) & (alpha >= 1.0 / 255.0),
             alpha, 0.0
@@ -126,12 +128,14 @@ def render_dense(
     background: Optional[jnp.ndarray] = None,
     sh_degree: Optional[int] = None,
     render_depth: bool = False,
+    ortho_extent: float = 2.0,
 ) -> RenderOutput:
     """Render one view from world-space Gaussians.
 
     means [N, 3], covariances [N, 3, 3], harmonics [N, 3, d_sh] (d_sh == 1 means
     precomputed colors, no +0.5 offset — parity with use_sh=False in render_cuda),
-    opacities [N], c2w [4, 4].
+    opacities [N], c2w [4, 4]. camera_kind="ortho" renders the paper-figure
+    orthographic view (world square of side ortho_extent fills the image).
     """
     h, w = image_shape
     if background is None:
@@ -145,6 +149,11 @@ def render_dense(
     elif camera_kind == "pinhole":
         assert intrinsics is not None
         proj = project_pinhole(means, covariances, c2w, intrinsics, image_shape, near)
+        wrap_x = False
+    elif camera_kind == "ortho":
+        proj = project_ortho(
+            means, covariances, c2w, ortho_extent, image_shape, near, far
+        )
         wrap_x = False
     else:
         raise ValueError(camera_kind)

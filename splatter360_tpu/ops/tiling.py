@@ -72,19 +72,50 @@ def _depth_key(depth: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.shift_right_logical(bits, 32 - 1 - _DEPTH_BITS)
 
 
-def _tile_rect_keys(tx0, ty0, span_x, span_y, qd, valid, ntx, nty, sh, sw, wrap_x):
-    """Emit keys for an sh x sw tile rectangle. Returns [N, sh, sw] int32 keys."""
+def _tile_rect_keys(
+    tx0, ty0, span_x, span_y, qd, valid, ntx, nty, sh, sw, wrap_x,
+    u, v, rx, ry, w_img,
+):
+    """Emit keys for an sh x sw tile rectangle. Returns [N, sh, sw] int32 keys.
+
+    Each slot is additionally culled by the exact counterpart of the
+    compositor's |dx| <= rx, |dy| <= ry gate: a slot whose tile box of
+    PIXEL CENTERS lies entirely outside the splat's radius box can never
+    receive a contribution, so it is never emitted. For small splats this
+    kills 2-3 of the 4 fast-tier slots, which shrinks every downstream
+    per-instance cost (sort survivors, pack gather, kernel blocks, gradient
+    scatter). Under wrap the test re-centers u modulo the image width to the
+    WRAPPED tile box, mirroring the kernel (clamped spans can wrap a slot far
+    from its unwrapped position)."""
     sy = jnp.arange(sh, dtype=jnp.int32)
     sx = jnp.arange(sw, dtype=jnp.int32)
     tile_x = tx0[:, None] + sx[None, :]
     tile_y = ty0[:, None] + sy[None, :]
     if wrap_x:
         tile_x = jnp.mod(tile_x, ntx)
+    x_lo = (tile_x * TILE_W).astype(u.dtype)            # [N, sw]
+    y_lo = (tile_y * TILE_H).astype(v.dtype)            # [N, sh]
+    if wrap_x:
+        # Same re-centering expression as the compositor kernels (x0 + TILE_W/2,
+        # ops/pallas/composite.py::_chunk_alpha) so cull and composite agree on the
+        # wrap image bit-for-bit.
+        xc = x_lo + TILE_W * 0.5
+        u_eff = u[:, None] + w_img * jnp.round((xc - u[:, None]) / w_img)
+    else:
+        u_eff = u[:, None]
+    dx = jnp.maximum(
+        jnp.maximum(x_lo - u_eff, u_eff - (x_lo + TILE_W - 1)), 0.0
+    )
+    dy = jnp.maximum(
+        jnp.maximum(y_lo - v[:, None], v[:, None] - (y_lo + TILE_H - 1)), 0.0
+    )
+    hit = (dy[:, :, None] <= ry[:, None, None]) & (dx[:, None, :] <= rx[:, None, None])
     tile_id = tile_y[:, :, None] * ntx + tile_x[:, None, :]
     ok = (
         (sy[None, :, None] < span_y[:, None, None])
         & (sx[None, None, :] < span_x[:, None, None])
         & valid[:, None, None]
+        & hit
     )
     key = jax.lax.shift_left(tile_id, _DEPTH_BITS) | qd[:, None, None]
     return jnp.where(ok, key, _SENTINEL)
@@ -98,6 +129,7 @@ def assign_tiles(
     instance_cap: Optional[int] = None,
 ) -> TileAssignment:
     nty, ntx = num_tiles(image_shape)
+    _, w = image_shape
     t_total = ntx * nty
     # key = tile_id << _DEPTH_BITS | depth must stay positive in int32
     assert t_total < (1 << (31 - _DEPTH_BITS)), (
@@ -114,13 +146,14 @@ def assign_tiles(
 
     u = proj.mean2d[:, 0]
     v = proj.mean2d[:, 1]
-    r = proj.radius
+    rx = proj.radius[:, 0]
+    ry = proj.radius[:, 1]
     qd = _depth_key(jnp.maximum(proj.depth, 1e-9))
 
-    tx0 = jnp.floor((u - r) / TILE_W).astype(jnp.int32)
-    tx1 = jnp.floor((u + r) / TILE_W).astype(jnp.int32)
-    ty0 = jnp.floor((v - r) / TILE_H).astype(jnp.int32)
-    ty1 = jnp.floor((v + r) / TILE_H).astype(jnp.int32)
+    tx0 = jnp.floor((u - rx) / TILE_W).astype(jnp.int32)
+    tx1 = jnp.floor((u + rx) / TILE_W).astype(jnp.int32)
+    ty0 = jnp.floor((v - ry) / TILE_H).astype(jnp.int32)
+    ty1 = jnp.floor((v + ry) / TILE_H).astype(jnp.int32)
     if not wrap_x:
         tx0 = jnp.clip(tx0, 0, ntx - 1)
         tx1 = jnp.clip(tx1, 0, ntx - 1)
@@ -133,7 +166,8 @@ def assign_tiles(
     is_big = (span_x > 2) | (span_y > 2)
     small_valid = proj.valid & ~is_big
     keys_small = _tile_rect_keys(
-        tx0, ty0, span_x, span_y, qd, small_valid, ntx, nty, 2, 2, wrap_x
+        tx0, ty0, span_x, span_y, qd, small_valid, ntx, nty, 2, 2, wrap_x,
+        u, v, rx, ry, float(w),
     ).reshape(-1)
     gidx_small = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], (n, 4)
@@ -146,7 +180,8 @@ def assign_tiles(
     bi = jnp.clip(big_idx, 0, n - 1)
     keys_big = _tile_rect_keys(
         tx0[bi], ty0[bi], span_x[bi], span_y[bi], qd[bi], big_ok,
-        ntx, nty, SPAN_H, SPAN_W, wrap_x,
+        ntx, nty, SPAN_H, SPAN_W, wrap_x, u[bi], v[bi], rx[bi], ry[bi],
+        float(w),
     ).reshape(-1)
     gidx_big = jnp.broadcast_to(
         bi[:, None], (n_big, SPAN_H * SPAN_W)

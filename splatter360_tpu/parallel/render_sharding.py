@@ -6,7 +6,7 @@ GPU (decoder_splatting_cuda.py:47, cuda_splatting.py:91). Here the render itself
 scales over the mesh — the role ring-attention/CP plays in LLM stacks:
 
   1. Gaussians are sharded over the mesh axis; each device projects its shard
-     to compact 2D screen params (12 floats/splat) — N/n_dev projection work.
+     to compact 2D screen params (13 floats/splat) — N/n_dev projection work.
   2. One `all_gather` of the packed 2D params rides ICI (~48 MB at 1M splats,
      ~1 ms on v5e) — far cheaper than gathering full 3D Gaussians (~350 MB).
   3. The image is split into horizontal tile-row BANDS, one per device. Each
@@ -92,26 +92,27 @@ def render_erp_sharded(
         packed = jnp.concatenate(
             [
                 proj.mean2d, proj.conic, cols,
-                op_s[:, None], proj.depth[:, None], proj.radius[:, None],
+                op_s[:, None], proj.depth[:, None], proj.radius,
                 proj.valid.astype(means_s.dtype)[:, None],
             ],
             axis=-1,
-        )  # [N/n, 12]
+        )  # [N/n, 13]
         # (2) all_gather compact 2D params over ICI
-        packed = jax.lax.all_gather(packed, axis, tiled=True)  # [N, 12]
+        packed = jax.lax.all_gather(packed, axis, tiled=True)  # [N, 13]
         mean2d = packed[:, 0:2]
         conic = packed[:, 2:5]
         cols_g = packed[:, 5:8]
         op_g = packed[:, 8]
         depth_g = packed[:, 9]
-        radius_g = packed[:, 10]
-        valid_g = packed[:, 11] > 0.5
+        radius_g = packed[:, 10:12]
+        valid_g = packed[:, 12] > 0.5
 
         # (3) bin + composite only this device's band of tile rows
         band = jax.lax.axis_index(axis)
         y0 = (band * band_h).astype(mean2d.dtype)
         v_loc = mean2d[:, 1] - y0
-        in_band = (v_loc + radius_g >= 0.0) & (v_loc - radius_g < band_h)
+        ry_g = radius_g[:, 1]
+        in_band = (v_loc + ry_g >= 0.0) & (v_loc - ry_g < band_h)
         band_proj = Projected(
             mean2d=jnp.stack([mean2d[:, 0], v_loc], axis=-1),
             conic=conic,
