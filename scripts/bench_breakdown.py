@@ -93,6 +93,30 @@ def main():
         return jax.grad(f)(inst)
 
     @jax.jit
+    def stage_pack_fb(means, covs, sh, op):
+        """Gradient through pack's row gather alone (the scatter-add transpose)."""
+        pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+        cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+        a = assign_tiles(pr, (H, W), True)
+
+        def f(mean2d, conic, cols, op, depth, radius):
+            inst = _pack_instances(a, mean2d, conic, cols, op, depth, radius)
+            return jnp.sum(inst * inst)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4, 5))(
+            pr.mean2d, pr.conic, cols, op, pr.depth, pr.radius)
+
+    @jax.jit
+    def stage_proj_fb(means, covs, sh, op):
+        """Projection + SH fwd+bwd alone (no binning/compositing)."""
+        def f(means, covs, sh, op):
+            pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+            cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+            return (jnp.sum(pr.mean2d) + jnp.sum(pr.conic) + jnp.sum(cols)
+                    + jnp.sum(pr.depth) + jnp.sum(op))
+        return jax.grad(f, argnums=(0, 1, 2, 3))(means, covs, sh, op)
+
+    @jax.jit
     def stage_full_fwd(means, covs, sh, op):
         out = render_tiled(means, covs, sh, op, c2w, (H, W),
                            camera_kind="erp", backend="pallas")
@@ -110,16 +134,27 @@ def main():
     print(f"instances K={k} blocks={inst.shape[0]}", file=sys.stderr)
 
     quick = os.environ.get("SPLAT360_BREAKDOWN_QUICK") == "1"
-    res = {}
-    if not quick:
-        res["project"] = timeit(stage_project, means, covs, sh)
-        res["tiles"] = timeit(stage_tiles, means, covs)
-        res["pack"] = timeit(stage_pack, means, covs, sh, op)
-    res["kernel_fwd"] = timeit(stage_kernel_fwd, inst, starts, counts, tile_ids)
-    res["kernel_fb"] = timeit(stage_kernel_fb, inst, starts, counts, tile_ids)
-    if not quick:
-        res["full_fwd"] = timeit(stage_full_fwd, means, covs, sh, op)
-    res["full_fb"] = timeit(stage_full_fb, means, covs, sh, op)
+    stages = {
+        "project": lambda: timeit(stage_project, means, covs, sh),
+        "tiles": lambda: timeit(stage_tiles, means, covs),
+        "pack": lambda: timeit(stage_pack, means, covs, sh, op),
+        "kernel_fwd": lambda: timeit(
+            stage_kernel_fwd, inst, starts, counts, tile_ids),
+        "kernel_fb": lambda: timeit(
+            stage_kernel_fb, inst, starts, counts, tile_ids),
+        "pack_fb": lambda: timeit(stage_pack_fb, means, covs, sh, op),
+        "proj_fb": lambda: timeit(stage_proj_fb, means, covs, sh, op),
+        "full_fwd": lambda: timeit(stage_full_fwd, means, covs, sh, op),
+        "full_fb": lambda: timeit(stage_full_fb, means, covs, sh, op),
+    }
+    if quick:
+        sel = ["kernel_fwd", "kernel_fb", "full_fb"]
+    else:
+        sel = list(stages)
+    env_sel = os.environ.get("SPLAT360_BREAKDOWN_STAGES")
+    if env_sel:
+        sel = env_sel.split(",")
+    res = {name: stages[name]() for name in sel}
 
     mpx = H * W / 1e6
     for name, ms in res.items():

@@ -19,11 +19,12 @@ pixel coords are [N_PIX, 1] iota columns, and no per-chunk transposes exist. Per
     T_carry *= exp(rowsum(masked L))
 One [N_PIX, 8] -> [8, N_PIX] transpose per tile writes the output planes.
 
-The backward re-walks chunks in reverse, recomputing alpha/E and carrying suffix
-accumulators; per-instance gradients are direct derivatives of the power form
-(sublane reductions) plus MXU matmuls for the color/gamma terms — mirroring the CUDA
-backward's math. They scatter-add into per-Gaussian gradients outside via the
-autograd transpose of the instance gather.
+The backward walks ONLY the blocks the forward actually processed (early-exit
+count nproc is exported per tile), in reverse, recomputing alpha/E with suffix
+state accumulated in VMEM scratch; per-instance gradients come from one pixel-
+moment matmul (MXU) plus MXU matmuls for the color/gamma terms — mirroring the
+CUDA backward's math. Per-Gaussian gradients are recovered outside by the pack
+gather's hand-written transpose (_gather_rows).
 
 Memory layout (tuned around TPU per-index costs — see ops/tiling.py): instances are
 packed once per frame with a SINGLE row gather (attrs[N, 16] -> rows[K, 16]) into
@@ -31,8 +32,9 @@ contiguous [NBLK, ROWS, CHUNK] blocks. Tile segments stay UNALIGNED; the kernels
 whole 128-instance blocks with per-lane segment masks (boundary blocks are shared by
 adjacent tiles — harmless on the read side). The backward writes each tile's
 per-block gradients into tile-OWNED output blocks (offsets from a tiny cumsum), so
-there are no write conflicts; a host-side gather maps them back to instance order.
-Input DMAs are double-buffered; gradient write-backs are pipelined one chunk behind.
+there are no write conflicts; a BLOCK-level scatter-add (~20k indices, not K rows)
+maps them back to instance order. Input DMAs are double-buffered; gradient
+write-backs are pipelined one chunk behind.
 Equirect azimuth wrap: instance means re-centered to the tile center modulo W
 (exact: project_erp caps radii at W/2 - TILE_W/2 - 1).
 """
@@ -47,7 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..tiling import BLOCK, TILE_H, TILE_W, TileAssignment
+from ..tiling import BLOCK, SPAN_H, SPAN_W, TILE_H, TILE_W, TileAssignment
 
 CHUNK = BLOCK  # 128 instance lanes per chunk
 N_PIX = TILE_H * TILE_W  # pixels per tile (sublane extent of the kernels)
@@ -65,6 +67,12 @@ _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("SPLAT360_KERNEL_PRECISION", "highest")]
 _EARLY_EXIT = os.environ.get("SPLAT360_KERNEL_EARLY_EXIT", "1") == "1"
+# Backward-kernel cost-bisection ablations (comma list, PERF DEBUGGING ONLY —
+# each one computes WRONG gradients): "dma" skip grad write-backs, "suffix" /
+# "gamma" / "moment" zero out one matmul, "asm" skip the grad row assembly.
+_ABLATE = frozenset(
+    x for x in os.environ.get("SPLAT360_BWD_ABLATE", "").split(",") if x
+)
 
 
 def _tile_origin(tid, ntx):
@@ -107,8 +115,8 @@ def _chunk_alpha(data, px, py, w_img, wrap_x):
     """Per-instance alpha maps for one chunk (pixels-major).
 
     data: [ROWS, CHUNK]; px, py: [N_PIX, 1].
-    Returns (alpha, dx, dy, a, b, c, o) — alpha/dx/dy [N_PIX, CHUNK],
-    scalars [1, CHUNK].
+    Returns (alpha, dx, dy, a, b, c, o, u, v) — alpha/dx/dy [N_PIX, CHUNK],
+    scalars [1, CHUNK] (u re-centered to the tile under wrap).
     """
     u = data[0:1, :]
     v = data[1:2, :]
@@ -134,7 +142,23 @@ def _chunk_alpha(data, px, py, w_img, wrap_x):
         & (alpha >= _ALPHA_MIN)
     )
     alpha = jnp.where(gate, jnp.minimum(alpha, 0.99), 0.0)
-    return alpha, dx, dy, a, b, c, o
+    return alpha, dx, dy, a, b, c, o, u, v
+
+
+def _moment_matrix():
+    """Constant [6, N_PIX] pixel-moment rows in TILE-LOCAL coordinates.
+
+    Rows: 1, xl, yl, xl^2, yl^2, xl*yl with xl in [0, TILE_W), yl in [0, TILE_H).
+    Local coords keep every entry <= TILE_W^2, so the moment matmul is accurate
+    even under reduced-precision MXU passes; the per-instance quadratic sums are
+    recovered from the moments by a shift to (u, v) afterwards (see
+    _backward_kernel) — an exact binomial expansion, all [1, CHUNK] arithmetic.
+    """
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
+    xl = (p % TILE_W).astype(jnp.float32)
+    yl = (p // TILE_W).astype(jnp.float32)
+    one = jnp.ones((1, N_PIX), jnp.float32)
+    return jnp.concatenate([one, xl, yl, xl * xl, yl * yl, xl * yl], axis=0)
 
 
 def _segment_mask(blk0, j, start, count):
@@ -222,7 +246,7 @@ def _backward_kernel(
     inst_ref,                # HBM [NBLK, ROWS, CHUNK]
     gacc_ref,                # [8, N_PIX]: gr gg gb gdepth gT T_final 0 0
     dout_ref,                # out HBM [NBLK_OUT, ROWS, CHUNK] tile-owned blocks
-    bufs, grad_bufs, psum_scratch, slg_scratch, sems, out_sems,
+    bufs, grad_bufs, suffix_scratch, apsi_scratch, sems, out_sems,
     *, ntx, w_img, wrap_x,
 ):
     tid = pl.program_id(0)
@@ -235,6 +259,13 @@ def _backward_kernel(
     nproc = nproc_ref[tid]  # blocks the forward actually accumulated
     blk0 = start // CHUNK
     n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
+    # The forward early-exited blocks >= nproc: zero weight, zero gradients,
+    # absent from the telescoping suffix. The reverse walk starts at rj = lo so
+    # those blocks are NEVER touched — no DMA, no math, no write-back (the host
+    # wrapper zero-masks their never-written output blocks by nproc). At the
+    # north-star load only ~17% of blocks are live, and the per-block loop
+    # skeleton dominated the old walk-everything backward (132 of 168 ms).
+    lo = n_blocks - nproc
 
     mup = _strict_upper(jnp.float32)
     mlow = _strict_lower(jnp.float32)
@@ -242,6 +273,12 @@ def _backward_kernel(
     lt_final = gacc_ref[5:6, :].T    # [N_PIX, 1] log T_final (exact, no clamping)
     g_rgbd = gacc_ref[0:4, :]        # [4, N_PIX]
     gt_term = (gacc_ref[4:5, :] * jnp.exp(gacc_ref[5:6, :])).T  # g_T * T_final
+
+    # Suffix accumulators live in VMEM scratch (updated in place inside the
+    # body) rather than loop carries: dead iterations vanish entirely and live
+    # ones skip the zero+select+carry dance.
+    suffix_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+    apsi_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
 
     def in_copy(slot, j):
         return pltpu.make_async_copy(
@@ -253,12 +290,11 @@ def _backward_kernel(
             grad_bufs.at[slot], dout_ref.at[obase + j], out_sems.at[slot]
         )
 
-    @pl.when(n_blocks > 0)
+    @pl.when(nproc > 0)
     def _():
-        in_copy(0, n_blocks - 1).start()
+        in_copy(jax.lax.rem(lo, 2), nproc - 1).start()
 
     def body(rj, carry):
-        log_t_suffix, a_psi = carry  # [N_PIX, 1] each
         j = n_blocks - 1 - rj
         slot = jax.lax.rem(rj, 2)
 
@@ -267,65 +303,87 @@ def _backward_kernel(
             in_copy(1 - slot, j - 1).start()
 
         in_copy(slot, j).wait()
-        # wait for the grad write-back that used this slot two chunks ago
-        @pl.when(rj >= 2)
-        def _():
-            out_copy(slot, j + 2).wait()
+        if "dma" not in _ABLATE:
+            # wait for the grad write-back that used this slot two chunks ago
+            @pl.when(rj >= lo + 2)
+            def _():
+                out_copy(slot, j + 2).wait()
 
-        psum_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
-        slg_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
         grad_bufs[slot] = jnp.zeros((ROWS, CHUNK), jnp.float32)
 
-        # Blocks the forward early-exited (j >= nproc) had exactly zero weight
-        # and zero effect on the outputs: no gradients, their absorbance must
-        # not enter the telescoping suffix (lt_final excludes them), and all
-        # the alpha math can be skipped wholesale.
-        @pl.when(j < nproc)
+        data = jnp.where(
+            _segment_mask(blk0, j, start, count), bufs[slot], 0.0
+        )
+        alpha, dx, dy, a, b, c, o, u_eff, v_eff = _chunk_alpha(
+            data, px, py, w_img, wrap_x
+        )
+        lg = jnp.log1p(-alpha)
+        sum_lg = jnp.sum(lg, axis=1, keepdims=True)
+        # T at block end/start from the full (unmasked) decay — no fixed
+        # point.
+        log_t_suffix = suffix_scratch[:]
+        log_t_end = lt_final - log_t_suffix
+        log_t_start = log_t_end - sum_lg
+        suffix_scratch[:] = log_t_suffix + sum_lg
+
+        # Skip the gradient math when every pixel was already saturated
+        # before this (deeper) block: t <= t_start < eps => nothing here.
+        @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
         def _():
-            data = jnp.where(
-                _segment_mask(blk0, j, start, count), bufs[slot], 0.0
-            )
-            alpha, dx, dy, a, b, c, o = _chunk_alpha(data, px, py, w_img, wrap_x)
-            lg = jnp.log1p(-alpha)
-            sum_lg = jnp.sum(lg, axis=1, keepdims=True)
-            # T at block end/start from the full (unmasked) decay — no fixed
-            # point.
-            log_t_end = lt_final - log_t_suffix
-            log_t_start = log_t_end - sum_lg
-            slg_scratch[:] = sum_lg
+            e = _contract(lg, mup, ((1,), (0,)))
+            t_i = jnp.exp(log_t_start + e)
+            contrib = t_i * (1.0 - alpha) >= _T_EPS
+            w = jnp.where(contrib, alpha * t_i, 0.0)
 
-            # Skip the gradient math when every pixel was already saturated
-            # before this (deeper) block: t <= t_start < eps => nothing here.
-            @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
-            def _():
-                e = _contract(lg, mup, ((1,), (0,)))
-                t_i = jnp.exp(log_t_start + e)
-                contrib = t_i * (1.0 - alpha) >= _T_EPS
-                w = jnp.where(contrib, alpha * t_i, 0.0)
-
-                cd = data[6:10, :]  # [4, CHUNK]
-                # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
+            cd = data[6:10, :]  # [4, CHUNK]
+            # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
+            if "gamma" in _ABLATE:
+                gamma = jnp.zeros((N_PIX, CHUNK), jnp.float32)
+            else:
                 gamma = _contract(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
-                psi = w * gamma
-                # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
+            psi = w * gamma
+            # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
+            if "suffix" in _ABLATE:
+                suffix = jnp.zeros((N_PIX, CHUNK), jnp.float32)
+            else:
                 suffix = _contract(psi, mlow, ((1,), (0,)))
 
-                g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
-                g_alpha = jnp.where(contrib, g_alpha, 0.0)
-                # d alpha / d power = alpha below the 0.99 cap (as CUDA)
-                g_p = g_alpha * alpha  # [N_PIX, CHUNK]
+            a_psi = apsi_scratch[:]
+            g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
+            g_alpha = jnp.where(contrib, g_alpha, 0.0)
+            # d alpha / d power = alpha below the 0.99 cap (as CUDA)
+            g_p = g_alpha * alpha  # [N_PIX, CHUNK]
 
-                # color/depth grads: dL/dcd[c,k] = sum_p g_rgbd[c,p] w[p,k]
-                g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
-                g_o = jnp.sum(g_p, axis=0, keepdims=True) / jnp.maximum(o, 1e-12)
+            # color/depth grads: dL/dcd[c,k] = sum_p g_rgbd[c,p] w[p,k]
+            g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
 
-                # direct derivatives of the power form (sublane reductions)
-                g_a = jnp.sum(g_p * (-0.5 * dx * dx), axis=0, keepdims=True)
-                g_b = jnp.sum(g_p * (-dx * dy), axis=0, keepdims=True)
-                g_c = jnp.sum(g_p * (-0.5 * dy * dy), axis=0, keepdims=True)
-                g_u = jnp.sum(g_p * (a * dx + b * dy), axis=0, keepdims=True)
-                g_v = jnp.sum(g_p * (c * dy + b * dx), axis=0, keepdims=True)
+            # Per-instance quadratic sums via ONE moment matmul (MXU) instead
+            # of six sublane reductions: M[r,k] = sum_p Pm[r,p] g_p[p,k] gives
+            # the 0th/1st/2nd moments of g_p over tile-local pixel coords;
+            # the sums over dx = xl - ul expand binomially from the moments.
+            if "moment" in _ABLATE:
+                mom = jnp.zeros((6, CHUNK), jnp.float32)
+            else:
+                mom = _contract(
+                    _moment_matrix(), g_p, ((1,), (0,))
+                )  # [6, CHUNK]
+            m0, mx, my, mxx, myy, mxy = (mom[i : i + 1, :] for i in range(6))
+            ul = u_eff - x0  # [1, CHUNK] tile-local instance centers
+            vl = v_eff - y0
+            s_dx = mx - ul * m0
+            s_dy = my - vl * m0
+            s_dxdx = mxx - 2.0 * ul * mx + ul * ul * m0
+            s_dydy = myy - 2.0 * vl * my + vl * vl * m0
+            s_dxdy = mxy - ul * my - vl * mx + ul * vl * m0
 
+            g_o = m0 / jnp.maximum(o, 1e-12)
+            g_a = -0.5 * s_dxdx
+            g_b = -s_dxdy
+            g_c = -0.5 * s_dydy
+            g_u = a * s_dx + b * s_dy
+            g_v = c * s_dy + b * s_dx
+
+            if "asm" not in _ABLATE:
                 grad = jnp.concatenate(
                     [
                         g_u, g_v, g_a, g_b, g_c, g_o, g_cd,
@@ -336,34 +394,79 @@ def _backward_kernel(
                 grad_bufs[slot] = jnp.where(
                     _segment_mask(blk0, j, start, count), grad, 0.0
                 )
-                psum_scratch[:] = jnp.sum(psi, axis=1, keepdims=True)
+            apsi_scratch[:] = a_psi + jnp.sum(psi, axis=1, keepdims=True)
 
-        out_copy(slot, j).start()
+        if "dma" not in _ABLATE:
+            out_copy(slot, j).start()
 
-        return (
-            log_t_suffix + slg_scratch[:],
-            a_psi + psum_scratch[:],
-        )
+        return carry
 
-    init = (
-        jnp.zeros((N_PIX, 1), jnp.float32),
-        jnp.zeros((N_PIX, 1), jnp.float32),
-    )
-    jax.lax.fori_loop(0, n_blocks, body, init)
+    jax.lax.fori_loop(lo, n_blocks, body, jnp.int32(0))
 
-    # drain the last (up to two) in-flight grad write-backs
-    @pl.when(n_blocks >= 1)
-    def _():
-        out_copy(jax.lax.rem(n_blocks - 1, 2), 0).wait()
+    if "dma" not in _ABLATE:
+        # drain the last (up to two) in-flight grad write-backs
+        @pl.when(nproc >= 1)
+        def _():
+            out_copy(jax.lax.rem(n_blocks - 1, 2), 0).wait()
 
-    @pl.when(n_blocks >= 2)
-    def _():
-        out_copy(jax.lax.rem(n_blocks - 2, 2), 1).wait()
+        @pl.when(nproc >= 2)
+        def _():
+            out_copy(jax.lax.rem(n_blocks - 2, 2), 1).wait()
 
 
 # ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_rows(n, attrs, gidx, slot, big_idx):
+    """attrs[N, ROWS] -> rows[K, ROWS] with a fast hand-written transpose.
+
+    The autograd transpose of this gather is a K-row scatter-add into N
+    Gaussians — measured ~270 ms at the north-star load (K=2.6M), the single
+    biggest cost of the fwd+bwd pipeline. Because the emission layout is
+    structured ([N, 4] fast-tier slots then [n_big, SPAN] big-tier slots, each
+    emission slot used at most once), the transpose is instead:
+
+      inv[s] = sorted position of emission slot s (one unique int32 scatter)
+      g_em   = g_rows[inv]                        (row gather, K_em rows)
+      g_fast = g_em[:4N]  .reshape(N, 4, ROWS).sum(1)     (layout reduction)
+      g_big  = g_em[4N:..].reshape(n_big, SPAN, ROWS).sum(1), scatter-added
+               at big_idx (n_big ~ N/32 rows: a tiny scatter)
+
+    measured ~6x cheaper than the scatter-add (sort/gather/reduce vs per-index
+    scatter costs — see scripts/bench_scatter.py)."""
+    del slot, big_idx
+    return attrs[gidx]
+
+
+def _gather_rows_fwd(n, attrs, gidx, slot, big_idx):
+    return attrs[gidx], (slot, big_idx)
+
+
+def _gather_rows_bwd(n, res, g_rows):
+    slot, big_idx = res
+    k = g_rows.shape[0]
+    nb = big_idx.shape[0]
+    span = SPAN_H * SPAN_W
+    e = -(-(4 * n + nb * span) // CHUNK) * CHUNK  # pre-sort emission size
+    inv = (
+        jnp.full((e,), k, jnp.int32)
+        .at[slot]
+        .set(jnp.arange(k, dtype=jnp.int32), unique_indices=True, mode="drop")
+    )
+    g_em = g_rows[jnp.clip(inv, 0, k - 1)]
+    g_em = jnp.where((inv < k)[:, None], g_em, 0.0)
+    g_attrs = g_em[: 4 * n].reshape(n, 4, -1).sum(axis=1)
+    g_big = g_em[4 * n : 4 * n + nb * span].reshape(nb, span, -1).sum(axis=1)
+    ok = big_idx >= 0
+    g_big = jnp.where(ok[:, None], g_big, 0.0)
+    g_attrs = g_attrs.at[jnp.where(ok, big_idx, n)].add(g_big, mode="drop")
+    return g_attrs, None, None, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
 def _pack_instances(
@@ -390,7 +493,10 @@ def _pack_instances(
         ],
         axis=1,
     )  # [N, ROWS]
-    rows = attrs[assignment.gaussian_idx]  # [K, ROWS] — the one gather
+    rows = _gather_rows(
+        n, attrs, assignment.gaussian_idx, assignment.slot_ids,
+        assignment.big_idx,
+    )  # [K, ROWS] — the one gather (custom transpose, see _gather_rows)
     valid = assignment.tile_ids < t_total
     rows = jnp.where(valid[:, None], rows, 0.0)
     k = rows.shape[0]
@@ -482,8 +588,8 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
         scratch_shapes=[
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # psi suffix-sum carry
-            pltpu.VMEM((N_PIX, 1), jnp.float32),  # sum_lg of the current block
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # log-T suffix accumulator
+            pltpu.VMEM((N_PIX, 1), jnp.float32),  # psi suffix-sum accumulator
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -503,18 +609,32 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
         ),
     )(starts, counts, obase, nproc, inst, combined)
 
-    # map tile-owned output blocks back to instance order:
-    #   opos(p) = p + (obase[tile] - blk0[tile]) * CHUNK
+    # Map tile-owned output blocks back to instance order at BLOCK granularity
+    # (~20k indices instead of a K-row gather — per-index cost is what matters
+    # on TPU). Out-block o belongs to tile T(o) = searchsorted-style rank of o
+    # in obase, and is tile T's segment-masked copy of in-block
+    # blk0[T] + (o - obase[T]); summing every tile's copy of an in-block is
+    # exact because segments are disjoint and each copy zeroes foreign lanes
+    # (handles blocks straddling ANY number of tiles). Blocks past the
+    # forward's early-exit point were never written (garbage): masked by
+    # per-tile nproc.
     blk0 = starts // CHUNK
-    oshift = (obase - blk0) * CHUNK  # [T]
-    valid = tile_ids < t
-    tid_safe = jnp.where(valid, tile_ids, 0)
-    p = jnp.arange(nblk_in * CHUNK, dtype=jnp.int32)
-    opos = p + oshift[tid_safe]  # small-table gather
-    out_rows = dout.transpose(0, 2, 1).reshape(nblk_out * CHUNK, ROWS)
-    dinst_rows = out_rows[jnp.clip(opos, 0, nblk_out * CHUNK - 1)]
-    dinst_rows = jnp.where(valid[:, None], dinst_rows, 0.0)
-    dinst = dinst_rows.reshape(nblk_in, CHUNK, ROWS).transpose(0, 2, 1)
+    t_of_o = (
+        jnp.cumsum(
+            jnp.zeros((nblk_out,), jnp.int32).at[obase].add(1, mode="drop")
+        )
+        - 1
+    )  # [NBLK_OUT] owning tile of each out block (obase is sorted)
+    t_safe = jnp.clip(t_of_o, 0, t - 1)
+    jb = jnp.arange(nblk_out, dtype=jnp.int32) - obase[t_safe]
+    inblk = blk0[t_safe] + jb
+    live = (t_of_o >= 0) & (jb >= 0) & (jb < nproc[t_safe])
+    contrib = jnp.where(live[:, None, None], dout, 0.0)
+    dinst = (
+        jnp.zeros((nblk_in, ROWS, CHUNK), jnp.float32)
+        .at[jnp.where(live, inblk, nblk_in)]
+        .add(contrib, mode="drop")
+    )
     return dinst, None, None, None
 
 

@@ -59,6 +59,12 @@ class TileAssignment(NamedTuple):
     dropped: jnp.ndarray       # [] int32 big-tier instances lost to the cap
     num_tiles_x: int
     num_tiles_y: int
+    # Emission-slot bookkeeping for the pack gather's fast transpose (see
+    # ops/pallas/composite.py::_gather_rows): slot s of each sorted instance in
+    # the PRE-SORT emission layout ([N, 4] fast tier then [n_big, SPAN] big
+    # tier), and the compacted big-tier Gaussian indices (-1 = empty slot).
+    slot_ids: jnp.ndarray      # [K] int32 emission slot of each sorted instance
+    big_idx: jnp.ndarray       # [n_big] int32 Gaussian index of each big slot
 
 
 def num_tiles(image_shape: tuple[int, int]) -> tuple[int, int]:
@@ -195,13 +201,19 @@ def assign_tiles(
     k_pad = -(-k // BLOCK) * BLOCK
     keys = jnp.pad(keys, (0, k_pad - k), constant_values=_SENTINEL)
     gidx = jnp.pad(gidx, (0, k_pad - k))
+    # Emission order IS slot order, so the slot array is just iota; carrying it
+    # through the sort gives the permutation needed to invert the pack gather.
+    slot = jnp.arange(k_pad, dtype=jnp.int32)
 
-    keys_sorted, gidx_sorted = jax.lax.sort((keys, gidx), num_keys=1)
+    keys_sorted, gidx_sorted, slot_sorted = jax.lax.sort(
+        (keys, gidx, slot), num_keys=1
+    )
     if cap < k_pad:
         n_real = jnp.sum((keys_sorted[cap:] != _SENTINEL).astype(jnp.int32))
         dropped = dropped + n_real
         keys_sorted = keys_sorted[:cap]
         gidx_sorted = gidx_sorted[:cap]
+        slot_sorted = slot_sorted[:cap]
     tile_ids = jax.lax.shift_right_logical(keys_sorted, _DEPTH_BITS)
 
     bounds = jnp.arange(t_total + 1, dtype=jnp.int32) << _DEPTH_BITS
@@ -215,4 +227,6 @@ def assign_tiles(
         dropped=dropped.astype(jnp.int32),
         num_tiles_x=ntx,
         num_tiles_y=nty,
+        slot_ids=slot_sorted,
+        big_idx=big_idx.astype(jnp.int32),
     )
