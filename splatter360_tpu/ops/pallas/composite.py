@@ -101,13 +101,13 @@ def _strict_lower(dtype):
     return (c < r).astype(dtype)
 
 
-def _contract(a, b, axes):
+def _contract(a, b, axes, precision=None):
     # HIGHEST: full-f32 MXU passes — the log-prefix sums and color accumulation
     # need f32 mantissas (default bf16 passes cost ~4e-3 relative error).
     return jax.lax.dot_general(
         a, b, dimension_numbers=(axes, ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+        precision=_PRECISION if precision is None else precision,
     )
 
 
@@ -364,6 +364,8 @@ def _backward_kernel(
             if "moment" in _ABLATE:
                 mom = jnp.zeros((6, CHUNK), jnp.float32)
             else:
+                # (Mosaic supports only DEFAULT/HIGHEST dot precision; HIGH
+                # would halve the passes here but is not lowerable.)
                 mom = _contract(
                     _moment_matrix(), g_p, ((1,), (0,))
                 )  # [6, CHUNK]
@@ -469,16 +471,10 @@ def _gather_rows_bwd(n, res, g_rows):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-def _pack_instances(
-    assignment, mean2d, conic, colors, opacities, depths, radii
-):
-    """Pack per-instance attributes as contiguous [NBLK, ROWS, CHUNK].
-
-    One elementwise attrs build + ONE row gather (the per-index cost dominates on
-    TPU, so everything else is arithmetic)."""
+def _build_attrs(mean2d, conic, colors, opacities, depths, radii):
+    """Stack per-Gaussian attributes as [N, ROWS] (one elementwise build)."""
     n = mean2d.shape[0]
-    t_total = assignment.num_tiles_x * assignment.num_tiles_y
-    attrs = jnp.stack(
+    return jnp.stack(
         [
             mean2d[:, 0], mean2d[:, 1],
             conic[:, 0], conic[:, 1], conic[:, 2],
@@ -493,6 +489,18 @@ def _pack_instances(
         ],
         axis=1,
     )  # [N, ROWS]
+
+
+def _pack_instances(
+    assignment, mean2d, conic, colors, opacities, depths, radii
+):
+    """Pack per-instance attributes as contiguous [NBLK, ROWS, CHUNK].
+
+    One elementwise attrs build + ONE row gather (the per-index cost dominates on
+    TPU, so everything else is arithmetic)."""
+    n = mean2d.shape[0]
+    t_total = assignment.num_tiles_x * assignment.num_tiles_y
+    attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
     rows = _gather_rows(
         n, attrs, assignment.gaussian_idx, assignment.slot_ids,
         assignment.big_idx,
@@ -566,8 +574,9 @@ def _composite_core_fwd(
     return acc, (inst, starts, counts, tile_ids, lt_final, nproc)
 
 
-def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
-    inst, starts, counts, tile_ids, lt_final, nproc = res
+def _backward_call(inst, starts, counts, lt_final, nproc, g_acc, nty, ntx,
+                   w_img, wrap_x):
+    """Run the backward pallas kernel; returns (dout, obase, nblk_out)."""
     t = nty * ntx
     nblk_in = inst.shape[0]
     obase, nblk_out = _out_block_layout(starts, counts, nblk_in)
@@ -608,16 +617,18 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(starts, counts, obase, nproc, inst, combined)
+    return dout, obase, nblk_out
 
-    # Map tile-owned output blocks back to instance order at BLOCK granularity
-    # (~20k indices instead of a K-row gather — per-index cost is what matters
-    # on TPU). Out-block o belongs to tile T(o) = searchsorted-style rank of o
-    # in obase, and is tile T's segment-masked copy of in-block
-    # blk0[T] + (o - obase[T]); summing every tile's copy of an in-block is
-    # exact because segments are disjoint and each copy zeroes foreign lanes
-    # (handles blocks straddling ANY number of tiles). Blocks past the
-    # forward's early-exit point were never written (garbage): masked by
-    # per-tile nproc.
+
+def _out_block_map(starts, counts, obase, nproc, nblk_out, t):
+    """Out-block -> in-block mapping and liveness.
+
+    Out-block o belongs to tile T(o) = searchsorted-style rank of o in obase,
+    and is tile T's segment-masked copy of in-block blk0[T] + (o - obase[T]);
+    summing every tile's copy of an in-block is exact because segments are
+    disjoint and each copy zeroes foreign lanes (handles blocks straddling ANY
+    number of tiles). Blocks past the forward's early-exit point were never
+    written (garbage): masked out of `live` by per-tile nproc."""
     blk0 = starts // CHUNK
     t_of_o = (
         jnp.cumsum(
@@ -629,6 +640,20 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
     jb = jnp.arange(nblk_out, dtype=jnp.int32) - obase[t_safe]
     inblk = blk0[t_safe] + jb
     live = (t_of_o >= 0) & (jb >= 0) & (jb < nproc[t_safe])
+    return inblk, live
+
+
+def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
+    inst, starts, counts, tile_ids, lt_final, nproc = res
+    t = nty * ntx
+    nblk_in = inst.shape[0]
+    dout, obase, nblk_out = _backward_call(
+        inst, starts, counts, lt_final, nproc, g_acc, nty, ntx, w_img, wrap_x
+    )
+    # Map tile-owned output blocks back to instance order at BLOCK granularity
+    # (~20k indices instead of a K-row gather — per-index cost is what matters
+    # on TPU).
+    inblk, live = _out_block_map(starts, counts, obase, nproc, nblk_out, t)
     contrib = jnp.where(live[:, None, None], dout, 0.0)
     dinst = (
         jnp.zeros((nblk_in, ROWS, CHUNK), jnp.float32)
@@ -641,6 +666,99 @@ def _composite_core_bwd(nty, ntx, w_img, wrap_x, res, g_acc):
 _composite_core.defvjp(_composite_core_fwd, _composite_core_bwd)
 
 
+# Live-block compaction cap for the fused render backward, as a fraction of
+# nblk_in: scatter cost is proportional to the STATIC cap, so keep it tight;
+# overflow falls back to the exact all-blocks path via lax.cond.
+_LIVE_FRAC = int(os.environ.get("SPLAT360_LIVE_CAP_DIV", "4"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6, 7, 8, 9))
+def _render_core(
+    n, attrs, gidx, starts, counts, tile_ids, nty, ntx, w_img, wrap_x
+):
+    """Fused pack + composite with a gradient path that never touches dead rows.
+
+    Forward: one row gather packs attrs[N, ROWS] into [NBLK, ROWS, CHUNK]
+    blocks, then the forward compositing kernel runs. Backward: the pallas
+    backward produces tile-owned gradient blocks; only the LIVE ones (the
+    forward processed ~17% of blocks at the north-star load) are compacted
+    with block-granular gathers and scatter-added straight into per-Gaussian
+    gradients — skipping both the K-row un-permute and the emission-slot
+    inverse-permutation gather of the unfused path. Replaces the CUDA
+    backward's atomic per-pixel accumulation (reference
+    diff-gaussian-rasterization-modified, SURVEY.md §2.9)."""
+    acc, _ = _render_core_fwd(
+        n, attrs, gidx, starts, counts, tile_ids, nty, ntx, w_img, wrap_x
+    )
+    return acc
+
+
+def _render_core_fwd(
+    n, attrs, gidx, starts, counts, tile_ids, nty, ntx, w_img, wrap_x
+):
+    t = nty * ntx
+    k = gidx.shape[0]
+    rows = attrs[gidx]  # [K, ROWS] — the one gather
+    rows = jnp.where((tile_ids < t)[:, None], rows, 0.0)
+    inst = rows.reshape(k // CHUNK, CHUNK, ROWS).transpose(0, 2, 1)
+    acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
+    planes = acc.reshape(t, 8, N_PIX)
+    lt_final = planes[:, 5, :]
+    nproc = planes[:, 6, 0].astype(jnp.int32)
+    return acc, (inst, gidx, starts, counts, tile_ids, lt_final, nproc)
+
+
+def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
+    inst, gidx, starts, counts, tile_ids, lt_final, nproc = res
+    t = nty * ntx
+    nblk_in = inst.shape[0]
+    dout, obase, nblk_out = _backward_call(
+        inst, starts, counts, lt_final, nproc, g_acc, nty, ntx, w_img, wrap_x
+    )
+    inblk, live = _out_block_map(starts, counts, obase, nproc, nblk_out, t)
+    gblk = gidx.reshape(nblk_in, CHUNK)
+    l_cap = -(-nblk_in // _LIVE_FRAC)
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    def compact_path(dout):
+        # Gather the live out-blocks (block-granular: ~n_live indices) and
+        # scatter-add their rows straight into per-Gaussian gradients. Rows
+        # outside the writing tile's segment are zero in its copy, so their
+        # adds are no-ops; pad slots get index n and are dropped.
+        (live_ids,) = jnp.nonzero(live, size=l_cap, fill_value=-1)
+        ok = live_ids >= 0
+        lid = jnp.clip(live_ids, 0, nblk_out - 1)
+        dblk = dout[lid]  # [L, ROWS, CHUNK] block gather
+        inb = jnp.clip(inblk[lid], 0, nblk_in - 1)
+        gsel = jnp.where(ok[:, None], gblk[inb], n)  # [L, CHUNK]
+        # pad blocks carry garbage rows but all their indices are n -> dropped
+        drows = dblk.transpose(0, 2, 1).reshape(l_cap * CHUNK, ROWS)
+        return (
+            jnp.zeros((n, ROWS), jnp.float32)
+            .at[gsel.reshape(-1)]
+            .add(drows, mode="drop")
+        )
+
+    def full_path(dout):
+        # Exact fallback when live blocks overflow the compaction cap:
+        # scatter-add every out-block's rows (same math, no compaction).
+        gsel = jnp.where(
+            live[:, None], gblk[jnp.clip(inblk, 0, nblk_in - 1)], n
+        )
+        drows = dout.transpose(0, 2, 1).reshape(nblk_out * CHUNK, ROWS)
+        return (
+            jnp.zeros((n, ROWS), jnp.float32)
+            .at[gsel.reshape(-1)]
+            .add(drows, mode="drop")
+        )
+
+    g_attrs = jax.lax.cond(n_live <= l_cap, compact_path, full_path, dout)
+    return g_attrs, None, None, None, None
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
 def composite_tiles_pallas(
     assignment: TileAssignment,
     mean2d, conic, colors, opacities, depths, radii,
@@ -649,12 +767,12 @@ def composite_tiles_pallas(
     """Drop-in replacement for composite_tiles_jax (same outputs)."""
     h, w = image_shape
     ntx, nty = assignment.num_tiles_x, assignment.num_tiles_y
-    inst = _pack_instances(
-        assignment, mean2d, conic, colors, opacities, depths, radii
-    )
-    acc = _composite_core(
-        inst, assignment.tile_starts, assignment.tile_counts,
-        assignment.tile_ids, nty, ntx, float(w), bool(wrap_x),
+    n = mean2d.shape[0]
+    attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
+    acc = _render_core(
+        n, attrs, assignment.gaussian_idx, assignment.tile_starts,
+        assignment.tile_counts, assignment.tile_ids, nty, ntx, float(w),
+        bool(wrap_x),
     )  # [T*8, N_PIX]
     acc = acc.reshape(nty, ntx, 8, TILE_H, TILE_W)
     planes = acc.transpose(2, 0, 3, 1, 4).reshape(8, nty * TILE_H, ntx * TILE_W)

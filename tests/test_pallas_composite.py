@@ -133,3 +133,26 @@ def test_pallas_backward_early_exit_saturated():
         assert np.all(np.isfinite(b)), f"{name}: non-finite pallas grads"
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
+
+
+def test_pallas_backward_live_cap_overflow_fallback(scene, monkeypatch):
+    """When live blocks overflow the compaction cap, the backward must take
+    the exact all-blocks lax.cond branch and produce identical gradients."""
+    monkeypatch.setattr(pc, "_LIVE_FRAC", 10**9)  # l_cap == 1 -> always overflow
+    target = jnp.zeros((H, W, 3))
+
+    def loss(backend, means, covs, sh, op):
+        out = render_tiled(
+            means, covs, sh, op, jnp.eye(4), (H, W), camera_kind="erp",
+            backend=backend, max_per_tile=256,
+        )
+        return jnp.mean((out.color - target) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+    args = (scene["means"], scene["covariances"], scene["harmonics"],
+            scene["opacities"])
+    g_jax = jax.grad(functools.partial(loss, "jax"), argnums=(0, 1, 2, 3))(*args)
+    g_pal = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_jax, g_pal, ["means", "covs", "sh", "opac"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
