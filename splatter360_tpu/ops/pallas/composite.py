@@ -111,6 +111,28 @@ def _contract(a, b, axes, precision=None):
     )
 
 
+def _split_bf16(x):
+    """Exact two-term bf16 split: x == hi + lo with both terms bf16-exact.
+
+    A DEFAULT-precision MXU pass rounds f32 operands to bf16, so feeding hi
+    and lo through separate passes reconstructs ~2^-16 relative accuracy."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _contract_binary(x, m, axes):
+    """x @ m where m has only 0/1 entries (exact in bf16).
+
+    Two DEFAULT passes over the bf16 split of x match HIGHEST (six passes) to
+    ~2^-16 relative — 3x cheaper on the MXU. Falls through to a single pass
+    when the kernel is configured for DEFAULT precision anyway."""
+    d = jax.lax.Precision.DEFAULT
+    if _PRECISION == d:
+        return _contract(x, m, axes)
+    hi, lo = _split_bf16(x)
+    return _contract(hi, m, axes, d) + _contract(lo, m, axes, d)
+
+
 def _chunk_alpha(data, px, py, w_img, wrap_x):
     """Per-instance alpha maps for one chunk (pixels-major).
 
@@ -197,7 +219,13 @@ def _forward_kernel(
     def _():
         in_copy(0, 0).start()
 
-    def body(j, n_processed):
+    def live_pred(j):
+        # Once every pixel in the tile saturates the remaining blocks are
+        # skipped permanently. The count of processed blocks is exported so
+        # the backward walks exactly the blocks the forward accumulated.
+        return (jnp.max(tacc[:]) >= _LOG_T_EPS) if _EARLY_EXIT else (j >= 0)
+
+    def body(j):
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < n_blocks)
@@ -206,32 +234,33 @@ def _forward_kernel(
 
         in_copy(slot, j).wait()
 
-        # Once every pixel in the tile saturates, skip the remaining blocks
-        # permanently (tacc is frozen, so `live` stays False). The count of
-        # processed blocks is exported so the backward can telescope its
-        # suffix over exactly the blocks the forward accumulated.
-        live = (jnp.max(tacc[:]) >= _LOG_T_EPS) if _EARLY_EXIT else (j >= 0)
+        data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
 
-        @pl.when(live)
-        def _():
-            data = jnp.where(_segment_mask(blk0, j, start, count), bufs[slot], 0.0)
+        alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
+        lg = jnp.log1p(-alpha)
+        e = _contract_binary(lg, mup, ((1,), (0,)))  # exclusive prefix over chunk
+        # T carried in log space: never underflows, and the backward can
+        # reconstruct per-block T by exact telescoping of the log sums.
+        t_i = jnp.exp(tacc[:] + e)
+        # unmasked T decay + post-decay contribution gate (see rasterizer_ref)
+        w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
 
-            alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
-            lg = jnp.log1p(-alpha)
-            e = _contract(lg, mup, ((1,), (0,)))  # exclusive prefix over chunk
-            # T carried in log space: never underflows, and the backward can
-            # reconstruct per-block T by exact telescoping of the log sums.
-            t_i = jnp.exp(tacc[:] + e)
-            # unmasked T decay + post-decay contribution gate (see rasterizer_ref)
-            w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
+        cd = data[6:10, :]  # [4, CHUNK]: r g b depth
+        racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
+        tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
+        return j + 1
 
-            cd = data[6:10, :]  # [4, CHUNK]: r g b depth
-            racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
-            tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
-
-        return n_processed + live.astype(jnp.int32)
-
-    n_processed = jax.lax.fori_loop(0, n_blocks, body, jnp.int32(0))
+    # While-loop early exit: saturated tiles stop walking (no DMA, no math for
+    # dead blocks — only ~17% of blocks are live at the north-star load).
+    n_processed = jax.lax.while_loop(
+        lambda j: (j < n_blocks) & live_pred(j), body, jnp.int32(0)
+    )
+    # Drain the dangling prefetch: blocks 0..n_processed-1 were waited; the
+    # prefetch for block n_processed was started (by the prologue if 0, by the
+    # previous body otherwise) iff n_processed < n_blocks.
+    @pl.when(n_processed < n_blocks)
+    def _():
+        in_copy(jax.lax.rem(n_processed, 2), n_processed).wait()
 
     planes = jnp.concatenate(
         [racc[:, 0:4], jnp.exp(tacc[:]), tacc[:],
@@ -330,7 +359,7 @@ def _backward_kernel(
         # before this (deeper) block: t <= t_start < eps => nothing here.
         @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
         def _():
-            e = _contract(lg, mup, ((1,), (0,)))
+            e = _contract_binary(lg, mup, ((1,), (0,)))
             t_i = jnp.exp(log_t_start + e)
             contrib = t_i * (1.0 - alpha) >= _T_EPS
             w = jnp.where(contrib, alpha * t_i, 0.0)
@@ -346,7 +375,7 @@ def _backward_kernel(
             if "suffix" in _ABLATE:
                 suffix = jnp.zeros((N_PIX, CHUNK), jnp.float32)
             else:
-                suffix = _contract(psi, mlow, ((1,), (0,)))
+                suffix = _contract_binary(psi, mlow, ((1,), (0,)))
 
             a_psi = apsi_scratch[:]
             g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
@@ -363,11 +392,19 @@ def _backward_kernel(
             # the sums over dx = xl - ul expand binomially from the moments.
             if "moment" in _ABLATE:
                 mom = jnp.zeros((6, CHUNK), jnp.float32)
+            elif _PRECISION == jax.lax.Precision.DEFAULT:
+                mom = _contract(_moment_matrix(), g_p, ((1,), (0,)))
             else:
-                # (Mosaic supports only DEFAULT/HIGHEST dot precision; HIGH
-                # would halve the passes here but is not lowerable.)
-                mom = _contract(
-                    _moment_matrix(), g_p, ((1,), (0,))
+                # Two-sided bf16 split, lo*lo term (~2^-32) dropped: three
+                # DEFAULT passes match HIGHEST (six) to ~2^-16 relative.
+                ax = ((1,), (0,))
+                d = jax.lax.Precision.DEFAULT
+                pm_hi, pm_lo = _split_bf16(_moment_matrix())
+                g_hi, g_lo = _split_bf16(g_p)
+                mom = (
+                    _contract(pm_hi, g_hi, ax, d)
+                    + _contract(pm_hi, g_lo, ax, d)
+                    + _contract(pm_lo, g_hi, ax, d)
                 )  # [6, CHUNK]
             m0, mx, my, mxx, myy, mxy = (mom[i : i + 1, :] for i in range(6))
             ul = u_eff - x0  # [1, CHUNK] tile-local instance centers
