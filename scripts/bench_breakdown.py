@@ -69,7 +69,7 @@ def main():
     def stage_pack(means, covs, sh, op):
         pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
         cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
-        a = assign_tiles(pr, (H, W), True)
+        a = assign_tiles(pr, (H, W), True, with_slots=True)
         inst = _pack_instances(a, pr.mean2d, pr.conic, cols, op,
                                pr.depth, pr.radius)
         return inst, a.tile_starts, a.tile_counts, a.tile_ids
@@ -97,7 +97,7 @@ def main():
         """Gradient through pack's row gather alone (the scatter-add transpose)."""
         pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
         cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
-        a = assign_tiles(pr, (H, W), True)
+        a = assign_tiles(pr, (H, W), True, with_slots=True)
 
         def f(mean2d, conic, cols, op, depth, radius):
             inst = _pack_instances(a, mean2d, conic, cols, op, depth, radius)

@@ -59,11 +59,14 @@ class TileAssignment(NamedTuple):
     dropped: jnp.ndarray       # [] int32 big-tier instances lost to the cap
     num_tiles_x: int
     num_tiles_y: int
-    # Emission-slot bookkeeping for the pack gather's fast transpose (see
-    # ops/pallas/composite.py::_gather_rows): slot s of each sorted instance in
-    # the PRE-SORT emission layout ([N, 4] fast tier then [n_big, SPAN] big
-    # tier), and the compacted big-tier Gaussian indices (-1 = empty slot).
-    slot_ids: jnp.ndarray      # [K] int32 emission slot of each sorted instance
+    # Emission-slot bookkeeping for the unfused pack gather's fast transpose
+    # (see ops/pallas/composite.py::_gather_rows): slot s of each sorted
+    # instance in the PRE-SORT emission layout ([N, 4] fast tier then
+    # [n_big, SPAN] big tier), and the compacted big-tier Gaussian indices
+    # (-1 = empty slot). Only carried when `with_slots=True` — the production
+    # fused path (_render_core) never reads them, and dropping the third sort
+    # operand saves a third of the sort.
+    slot_ids: Optional[jnp.ndarray]  # [K] int32 emission slot, or None
     big_idx: jnp.ndarray       # [n_big] int32 Gaussian index of each big slot
 
 
@@ -133,6 +136,7 @@ def assign_tiles(
     wrap_x: bool,
     big_cap: Optional[int] = None,
     instance_cap: Optional[int] = None,
+    with_slots: bool = False,
 ) -> TileAssignment:
     nty, ntx = num_tiles(image_shape)
     _, w = image_shape
@@ -142,12 +146,16 @@ def assign_tiles(
         f"{t_total} tiles overflow the sort key; use larger tiles"
     )
     n = proj.mean2d.shape[0]
-    n_big = big_cap if big_cap is not None else max(n // 32, 256)
+    # N/16 big slots: the north-star synthetic load has ~N/23 pole-stretched
+    # splats, and big splats are the largest on screen — dropping them is the
+    # most visible possible truncation (measured 12k dropped at N/32).
+    n_big = big_cap if big_cap is not None else max(n // 16, 256)
     # Post-sort truncation cap: real instances sort before sentinels, so keeping the
     # first `cap` entries only drops work when the real count exceeds it (counted in
     # `dropped`). This bounds every downstream per-index cost (pack gather, kernel
-    # blocks, gradient scatter-add).
-    cap = instance_cap if instance_cap is not None else max(5 * n // 2, 4096)
+    # blocks, gradient scatter-add). 2N leaves ~27% headroom over the measured
+    # 1.57N real instances at the north-star load (exact per-slot culling).
+    cap = instance_cap if instance_cap is not None else max(2 * n, 4096)
     cap = -(-cap // BLOCK) * BLOCK
 
     u = proj.mean2d[:, 0]
@@ -201,19 +209,24 @@ def assign_tiles(
     k_pad = -(-k // BLOCK) * BLOCK
     keys = jnp.pad(keys, (0, k_pad - k), constant_values=_SENTINEL)
     gidx = jnp.pad(gidx, (0, k_pad - k))
-    # Emission order IS slot order, so the slot array is just iota; carrying it
-    # through the sort gives the permutation needed to invert the pack gather.
-    slot = jnp.arange(k_pad, dtype=jnp.int32)
-
-    keys_sorted, gidx_sorted, slot_sorted = jax.lax.sort(
-        (keys, gidx, slot), num_keys=1
-    )
+    if with_slots:
+        # Emission order IS slot order, so the slot array is just iota; carrying
+        # it through the sort gives the permutation that inverts the unfused
+        # pack gather (_gather_rows).
+        slot = jnp.arange(k_pad, dtype=jnp.int32)
+        keys_sorted, gidx_sorted, slot_sorted = jax.lax.sort(
+            (keys, gidx, slot), num_keys=1
+        )
+    else:
+        keys_sorted, gidx_sorted = jax.lax.sort((keys, gidx), num_keys=1)
+        slot_sorted = None
     if cap < k_pad:
         n_real = jnp.sum((keys_sorted[cap:] != _SENTINEL).astype(jnp.int32))
         dropped = dropped + n_real
         keys_sorted = keys_sorted[:cap]
         gidx_sorted = gidx_sorted[:cap]
-        slot_sorted = slot_sorted[:cap]
+        if slot_sorted is not None:
+            slot_sorted = slot_sorted[:cap]
     tile_ids = jax.lax.shift_right_logical(keys_sorted, _DEPTH_BITS)
 
     bounds = jnp.arange(t_total + 1, dtype=jnp.int32) << _DEPTH_BITS
