@@ -130,6 +130,40 @@ def main():
             return jnp.mean(out.color) + jnp.mean(out.alpha)
         return jax.grad(f, argnums=(0, 1, 2, 3))(means, covs, sh, op)
 
+    # Given-tiles stages: the full fused render with the assignment PRECOMPUTED
+    # and passed as jit args — isolates the in-situ cost of the binning sort
+    # (full_* minus given_* = what assign_tiles really costs in the pipeline,
+    # where XLA fusion makes stage subtraction unreliable).
+    from splatter360_tpu.ops.pallas.composite import composite_tiles_pallas
+    from splatter360_tpu.ops.tiling import TileAssignment
+
+    @jax.jit
+    def stage_given_fwd(means, covs, sh, op, gidx, starts, counts, tids):
+        pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+        cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+        a2 = TileAssignment(gidx, tids, starts, counts,
+                            jnp.int32(0), ntx, nty, None, None)
+        rgb, alpha, dacc = composite_tiles_pallas(
+            a2, pr.mean2d, pr.conic, cols, op, pr.depth, pr.radius,
+            (H, W), jnp.zeros((3,), jnp.float32), True)
+        return rgb
+
+    @jax.jit
+    def stage_given_fb(means, covs, sh, op, gidx, starts, counts, tids):
+        def f(means, covs, sh, op):
+            pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
+            cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
+            a2 = TileAssignment(gidx, tids, starts, counts,
+                                jnp.int32(0), ntx, nty, None, None)
+            rgb, alpha, dacc = composite_tiles_pallas(
+                a2, pr.mean2d, pr.conic, cols, op, pr.depth, pr.radius,
+                (H, W), jnp.zeros((3,), jnp.float32), True)
+            return jnp.mean(rgb) + jnp.mean(alpha)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(means, covs, sh, op)
+
+    gidx_a, starts_a, counts_a, tids_a = jax.block_until_ready(
+        stage_tiles(means, covs))
+
     k = inst.shape[0] * inst.shape[2]
     print(f"instances K={k} blocks={inst.shape[0]}", file=sys.stderr)
 
@@ -146,6 +180,12 @@ def main():
         "proj_fb": lambda: timeit(stage_proj_fb, means, covs, sh, op),
         "full_fwd": lambda: timeit(stage_full_fwd, means, covs, sh, op),
         "full_fb": lambda: timeit(stage_full_fb, means, covs, sh, op),
+        "given_fwd": lambda: timeit(
+            stage_given_fwd, means, covs, sh, op,
+            gidx_a, starts_a, counts_a, tids_a),
+        "given_fb": lambda: timeit(
+            stage_given_fb, means, covs, sh, op,
+            gidx_a, starts_a, counts_a, tids_a),
     }
     if quick:
         sel = ["kernel_fwd", "kernel_fb", "full_fb"]

@@ -508,6 +508,30 @@ def _gather_rows_bwd(n, res, g_rows):
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+def _build_attrs_t(mean2d, conic, colors, opacities, depths, radii):
+    """Stack per-Gaussian attributes as [ROWS, N] — Gaussians on LANES.
+
+    The lane-major layout is what makes the pack gather cheap: gathering
+    [ROWS, N] along axis 1 into [ROWS, NBLK, CHUNK] blocks lowers to a
+    vectorized lane gather (~1 ns/row measured) instead of the ~42 ns/row
+    row-gather + sublane/lane transpose of the [N, ROWS] layout — the
+    difference is 70 ms vs 2 ms at the north-star load
+    (scripts/bench_gather.py)."""
+    n = mean2d.shape[0]
+    return jnp.concatenate(
+        [
+            mean2d[:, 0][None], mean2d[:, 1][None],
+            conic[:, 0][None], conic[:, 1][None], conic[:, 2][None],
+            opacities[None],
+            colors[:, 0][None], colors[:, 1][None], colors[:, 2][None],
+            depths[None],
+            radii[:, 0][None], radii[:, 1][None],
+            jnp.zeros((ROWS - 12, n), mean2d.dtype),
+        ],
+        axis=0,
+    )  # [ROWS, N]
+
+
 def _build_attrs(mean2d, conic, colors, opacities, depths, radii):
     """Stack per-Gaussian attributes as [N, ROWS] (one elementwise build)."""
     n = mean2d.shape[0]
@@ -537,6 +561,9 @@ def _pack_instances(
     TPU, so everything else is arithmetic)."""
     n = mean2d.shape[0]
     t_total = assignment.num_tiles_x * assignment.num_tiles_y
+    assert assignment.slot_ids is not None, (
+        "_pack_instances needs assign_tiles(..., with_slots=True)"
+    )
     attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
     rows = _gather_rows(
         n, attrs, assignment.gaussian_idx, assignment.slot_ids,
@@ -715,8 +742,9 @@ def _render_core(
 ):
     """Fused pack + composite with a gradient path that never touches dead rows.
 
-    Forward: one row gather packs attrs[N, ROWS] into [NBLK, ROWS, CHUNK]
-    blocks, then the forward compositing kernel runs. Backward: the pallas
+    Forward: one lane gather packs attrs[ROWS, N] into [NBLK, ROWS, CHUNK]
+    blocks (Gaussians stay on lanes end to end — no sublane/lane transpose
+    anywhere), then the forward compositing kernel runs. Backward: the pallas
     backward produces tile-owned gradient blocks; only the LIVE ones (the
     forward processed ~17% of blocks at the north-star load) are compacted
     with block-granular gathers and scatter-added straight into per-Gaussian
@@ -735,9 +763,9 @@ def _render_core_fwd(
 ):
     t = nty * ntx
     k = gidx.shape[0]
-    rows = attrs[gidx]  # [K, ROWS] — the one gather
-    rows = jnp.where((tile_ids < t)[:, None], rows, 0.0)
-    inst = rows.reshape(k // CHUNK, CHUNK, ROWS).transpose(0, 2, 1)
+    cols = jnp.take(attrs, gidx, axis=1)  # [ROWS, K] — the one (lane) gather
+    cols = jnp.where((tile_ids < t)[None, :], cols, 0.0)
+    inst = cols.reshape(ROWS, k // CHUNK, CHUNK).transpose(1, 0, 2)
     acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
     planes = acc.reshape(t, 8, N_PIX)
     lt_final = planes[:, 5, :]
@@ -759,7 +787,7 @@ def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
 
     def compact_path(dout):
         # Gather the live out-blocks (block-granular: ~n_live indices) and
-        # scatter-add their rows straight into per-Gaussian gradients. Rows
+        # scatter-add their lanes straight into per-Gaussian gradients. Lanes
         # outside the writing tile's segment are zero in its copy, so their
         # adds are no-ops; pad slots get index n and are dropped.
         (live_ids,) = jnp.nonzero(live, size=l_cap, fill_value=-1)
@@ -768,25 +796,25 @@ def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
         dblk = dout[lid]  # [L, ROWS, CHUNK] block gather
         inb = jnp.clip(inblk[lid], 0, nblk_in - 1)
         gsel = jnp.where(ok[:, None], gblk[inb], n)  # [L, CHUNK]
-        # pad blocks carry garbage rows but all their indices are n -> dropped
-        drows = dblk.transpose(0, 2, 1).reshape(l_cap * CHUNK, ROWS)
+        # pad blocks carry garbage lanes but all their indices are n -> dropped
+        dcols = dblk.transpose(1, 0, 2).reshape(ROWS, l_cap * CHUNK)
         return (
-            jnp.zeros((n, ROWS), jnp.float32)
-            .at[gsel.reshape(-1)]
-            .add(drows, mode="drop")
+            jnp.zeros((ROWS, n), jnp.float32)
+            .at[:, gsel.reshape(-1)]
+            .add(dcols, mode="drop")
         )
 
     def full_path(dout):
         # Exact fallback when live blocks overflow the compaction cap:
-        # scatter-add every out-block's rows (same math, no compaction).
+        # scatter-add every out-block's lanes (same math, no compaction).
         gsel = jnp.where(
             live[:, None], gblk[jnp.clip(inblk, 0, nblk_in - 1)], n
         )
-        drows = dout.transpose(0, 2, 1).reshape(nblk_out * CHUNK, ROWS)
+        dcols = dout.transpose(1, 0, 2).reshape(ROWS, nblk_out * CHUNK)
         return (
-            jnp.zeros((n, ROWS), jnp.float32)
-            .at[gsel.reshape(-1)]
-            .add(drows, mode="drop")
+            jnp.zeros((ROWS, n), jnp.float32)
+            .at[:, gsel.reshape(-1)]
+            .add(dcols, mode="drop")
         )
 
     g_attrs = jax.lax.cond(n_live <= l_cap, compact_path, full_path, dout)
@@ -805,7 +833,7 @@ def composite_tiles_pallas(
     h, w = image_shape
     ntx, nty = assignment.num_tiles_x, assignment.num_tiles_y
     n = mean2d.shape[0]
-    attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
+    attrs = _build_attrs_t(mean2d, conic, colors, opacities, depths, radii)
     acc = _render_core(
         n, attrs, assignment.gaussian_idx, assignment.tile_starts,
         assignment.tile_counts, assignment.tile_ids, nty, ntx, float(w),

@@ -48,7 +48,10 @@ BLOCK = 128  # instance chunk granularity (== pallas kernel CHUNK)
 SPAN_W = max(512 // TILE_W, 2)
 SPAN_H = max(128 // TILE_H, 2)
 _DEPTH_BITS = 20
-_SENTINEL = jnp.int32(0x7FFFFFFF)
+# Plain Python int, NOT jnp.int32: a module-level jnp scalar would allocate on
+# the default backend at import time (with the ambient axon TPU plugin that
+# initializes the TPU tunnel before main() can pin jax_platforms=cpu).
+_SENTINEL = 0x7FFFFFFF
 
 
 class TileAssignment(NamedTuple):

@@ -183,7 +183,15 @@ class Trainer:
         self.out = Path(cfg.output_dir)
         self.out.mkdir(parents=True, exist_ok=True)
         self.step_tracker = StepTracker()
-        self.mesh = create_mesh()
+        # Data-parallel mesh over the largest device count that divides the
+        # GLOBAL batch size (shard_batch splits the leading axis; an indivisible
+        # batch is a hard error in jax.device_put). batch_size=1 on an 8-chip
+        # host → 1-device mesh, matching the reference's batch-1-per-GPU DDP
+        # (SURVEY.md §2.10) where batch scales WITH the device count.
+        n_dev = len(jax.devices())
+        b = max(int(cfg.trainer.batch_size), 1)
+        n_mesh = max(d for d in range(1, n_dev + 1) if b % d == 0)
+        self.mesh = create_mesh(n_mesh)
         try:
             from tensorboardX import SummaryWriter
 
