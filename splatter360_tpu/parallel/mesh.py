@@ -24,6 +24,17 @@ def create_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def data_mesh_size(batch_size: int, n_devices: int) -> int:
+    """Largest device count <= n_devices that divides the global batch.
+
+    shard_batch splits the leading batch axis across the mesh, and
+    jax.device_put hard-errors on an indivisible batch; batch 1 on an 8-chip
+    host therefore trains on a 1-device mesh (the reference scales batch WITH
+    devices: batch-1-per-GPU DDP, SURVEY.md §2.10)."""
+    b = max(int(batch_size), 1)
+    return max(d for d in range(1, max(n_devices, 1) + 1) if b % d == 0)
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Put a host numpy batch onto the mesh, sharded over the leading (batch) axis."""
     sharding = NamedSharding(mesh, P(axis_name))

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..data.dataset import SceneDataset, batches
 from ..parallel.mesh import (
-    create_mesh, data_sharding, replicated_sharding, shard_batch,
+    create_mesh, data_mesh_size, data_sharding, replicated_sharding,
+    shard_batch,
 )
 from ..utils.step_tracker import StepTracker
 from . import checkpoint as ckpt
@@ -183,15 +184,9 @@ class Trainer:
         self.out = Path(cfg.output_dir)
         self.out.mkdir(parents=True, exist_ok=True)
         self.step_tracker = StepTracker()
-        # Data-parallel mesh over the largest device count that divides the
-        # GLOBAL batch size (shard_batch splits the leading axis; an indivisible
-        # batch is a hard error in jax.device_put). batch_size=1 on an 8-chip
-        # host → 1-device mesh, matching the reference's batch-1-per-GPU DDP
-        # (SURVEY.md §2.10) where batch scales WITH the device count.
-        n_dev = len(jax.devices())
-        b = max(int(cfg.trainer.batch_size), 1)
-        n_mesh = max(d for d in range(1, n_dev + 1) if b % d == 0)
-        self.mesh = create_mesh(n_mesh)
+        self.mesh = create_mesh(
+            data_mesh_size(cfg.trainer.batch_size, len(jax.devices()))
+        )
         try:
             from tensorboardX import SummaryWriter
 

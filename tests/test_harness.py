@@ -222,3 +222,19 @@ def test_pose_video_interpolation_chain():
     b = jnp.eye(4).at[:3, 3].set(jnp.array([2.0, 0.0, 0.0]))
     mid = interpolate_pose_6d(a, b, 0.5)
     np.testing.assert_allclose(np.asarray(mid[:3, 3]), [1.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_data_mesh_size():
+    from splatter360_tpu.parallel.mesh import data_mesh_size
+
+    # batch must divide across the mesh (shard_batch hard-errors otherwise):
+    # batch 1 on 8 devices -> 1-device mesh; batch scales WITH devices as in
+    # the reference's per-GPU-batch DDP (SURVEY.md §2.10).
+    assert data_mesh_size(1, 8) == 1
+    assert data_mesh_size(2, 8) == 2
+    assert data_mesh_size(8, 8) == 8
+    assert data_mesh_size(6, 8) == 6
+    assert data_mesh_size(12, 8) == 6
+    assert data_mesh_size(16, 8) == 8
+    assert data_mesh_size(0, 8) == 1  # degenerate inputs clamp safely
+    assert data_mesh_size(4, 0) == 1
