@@ -49,7 +49,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..tiling import BLOCK, SPAN_H, SPAN_W, TILE_H, TILE_W, TileAssignment
+from ..tiling import (
+    BLOCK, MED_SPAN_H, MED_SPAN_W, SPAN_H, SPAN_W, TILE_H, TILE_W,
+    TileAssignment,
+)
 
 CHUNK = BLOCK  # 128 instance lanes per chunk
 N_PIX = TILE_H * TILE_W  # pixels per tile (sublane extent of the kernels)
@@ -459,37 +462,40 @@ def _backward_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_rows(n, attrs, gidx, slot, big_idx):
+def _gather_rows(n, attrs, gidx, slot, irr_idx, big_idx):
     """attrs[N, ROWS] -> rows[K, ROWS] with a fast hand-written transpose.
 
     The autograd transpose of this gather is a K-row scatter-add into N
     Gaussians — measured ~270 ms at the north-star load (K=2.6M), the single
     biggest cost of the fwd+bwd pipeline. Because the emission layout is
-    structured ([N, 4] fast-tier slots then [n_big, SPAN] big-tier slots, each
-    emission slot used at most once), the transpose is instead:
+    structured ([N, 2] fast-tier slots, then [n_irr, MED_SPAN] irregular-tier,
+    then [n_big, SPAN] big-tier slots, each emission slot used at most once),
+    the transpose is instead:
 
       inv[s] = sorted position of emission slot s (one unique int32 scatter)
       g_em   = g_rows[inv]                        (row gather, K_em rows)
-      g_fast = g_em[:4N]  .reshape(N, 4, ROWS).sum(1)     (layout reduction)
-      g_big  = g_em[4N:..].reshape(n_big, SPAN, ROWS).sum(1), scatter-added
-               at big_idx (n_big ~ N/32 rows: a tiny scatter)
+      g_fast = g_em[:2N]  .reshape(N, 2, ROWS).sum(1)     (layout reduction)
+      g_irr/g_big = per-tier reshape-sums, scatter-added at irr_idx/big_idx
+               (n_irr ~ N/8, n_big ~ N/64 rows: tiny scatters)
 
     measured ~6x cheaper than the scatter-add (sort/gather/reduce vs per-index
     scatter costs — see scripts/bench_scatter.py)."""
-    del slot, big_idx
+    del slot, irr_idx, big_idx
     return attrs[gidx]
 
 
-def _gather_rows_fwd(n, attrs, gidx, slot, big_idx):
-    return attrs[gidx], (slot, big_idx)
+def _gather_rows_fwd(n, attrs, gidx, slot, irr_idx, big_idx):
+    return attrs[gidx], (slot, irr_idx, big_idx)
 
 
 def _gather_rows_bwd(n, res, g_rows):
-    slot, big_idx = res
+    slot, irr_idx, big_idx = res
     k = g_rows.shape[0]
+    ni = irr_idx.shape[0]
     nb = big_idx.shape[0]
+    mspan = MED_SPAN_H * MED_SPAN_W
     span = SPAN_H * SPAN_W
-    e = -(-(4 * n + nb * span) // CHUNK) * CHUNK  # pre-sort emission size
+    e = -(-(2 * n + ni * mspan + nb * span) // CHUNK) * CHUNK  # emission size
     inv = (
         jnp.full((e,), k, jnp.int32)
         .at[slot]
@@ -497,12 +503,18 @@ def _gather_rows_bwd(n, res, g_rows):
     )
     g_em = g_rows[jnp.clip(inv, 0, k - 1)]
     g_em = jnp.where((inv < k)[:, None], g_em, 0.0)
-    g_attrs = g_em[: 4 * n].reshape(n, 4, -1).sum(axis=1)
-    g_big = g_em[4 * n : 4 * n + nb * span].reshape(nb, span, -1).sum(axis=1)
-    ok = big_idx >= 0
-    g_big = jnp.where(ok[:, None], g_big, 0.0)
-    g_attrs = g_attrs.at[jnp.where(ok, big_idx, n)].add(g_big, mode="drop")
-    return g_attrs, None, None, None
+    g_attrs = g_em[: 2 * n].reshape(n, 2, -1).sum(axis=1)
+    o_irr = 2 * n
+    o_big = o_irr + ni * mspan
+    for seg, idx, sp in (
+        (g_em[o_irr:o_big], irr_idx, mspan),
+        (g_em[o_big : o_big + nb * span], big_idx, span),
+    ):
+        g_seg = seg.reshape(-1, sp, g_rows.shape[1]).sum(axis=1)
+        ok = idx >= 0
+        g_seg = jnp.where(ok[:, None], g_seg, 0.0)
+        g_attrs = g_attrs.at[jnp.where(ok, idx, n)].add(g_seg, mode="drop")
+    return g_attrs, None, None, None, None
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -567,7 +579,7 @@ def _pack_instances(
     attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
     rows = _gather_rows(
         n, attrs, assignment.gaussian_idx, assignment.slot_ids,
-        assignment.big_idx,
+        assignment.irr_idx, assignment.big_idx,
     )  # [K, ROWS] — the one gather (custom transpose, see _gather_rows)
     valid = assignment.tile_ids < t_total
     rows = jnp.where(valid[:, None], rows, 0.0)

@@ -47,6 +47,12 @@ BLOCK = 128  # instance chunk granularity (== pallas kernel CHUNK)
 # 512 px wide x 128 px tall (pole-stretched ERP splats).
 SPAN_W = max(512 // TILE_W, 2)
 SPAN_H = max(128 // TILE_H, 2)
+# Irregular-tier rectangle (2 wide x up-to-4 tall tiles): catches the 2x2
+# corner straddlers plus narrow-but-tall splats, so the per-Gaussian fast tier
+# can stay at TWO slots. At the north-star load the split is ~91% fast-2 /
+# ~8.6% irregular / ~0.14% big, which cuts sorted emission from 6.3N to 3.5N.
+MED_SPAN_W = 2
+MED_SPAN_H = min(4, SPAN_H)
 _DEPTH_BITS = 20
 # Plain Python int, NOT jnp.int32: a module-level jnp scalar would allocate on
 # the default backend at import time (with the ambient axon TPU plugin that
@@ -64,12 +70,13 @@ class TileAssignment(NamedTuple):
     num_tiles_y: int
     # Emission-slot bookkeeping for the unfused pack gather's fast transpose
     # (see ops/pallas/composite.py::_gather_rows): slot s of each sorted
-    # instance in the PRE-SORT emission layout ([N, 4] fast tier then
-    # [n_big, SPAN] big tier), and the compacted big-tier Gaussian indices
-    # (-1 = empty slot). Only carried when `with_slots=True` — the production
-    # fused path (_render_core) never reads them, and dropping the third sort
-    # operand saves a third of the sort.
+    # instance in the PRE-SORT emission layout ([N, 2] fast tier, then
+    # [n_irr, MED_SPAN] irregular tier, then [n_big, SPAN] big tier), and the
+    # compacted per-tier Gaussian indices (-1 = empty slot). Only carried when
+    # `with_slots=True` — the production fused path (_render_core) never reads
+    # them, and dropping the third sort operand saves a third of the sort.
     slot_ids: Optional[jnp.ndarray]  # [K] int32 emission slot, or None
+    irr_idx: jnp.ndarray       # [n_irr] int32 Gaussian index of each irr slot
     big_idx: jnp.ndarray       # [n_big] int32 Gaussian index of each big slot
 
 
@@ -140,6 +147,7 @@ def assign_tiles(
     big_cap: Optional[int] = None,
     instance_cap: Optional[int] = None,
     with_slots: bool = False,
+    irr_cap: Optional[int] = None,
 ) -> TileAssignment:
     nty, ntx = num_tiles(image_shape)
     _, w = image_shape
@@ -149,15 +157,17 @@ def assign_tiles(
         f"{t_total} tiles overflow the sort key; use larger tiles"
     )
     n = proj.mean2d.shape[0]
-    # N/16 big slots: the north-star synthetic load has ~N/23 pole-stretched
-    # splats, and big splats are the largest on screen — dropping them is the
-    # most visible possible truncation (measured 12k dropped at N/32).
-    n_big = big_cap if big_cap is not None else max(n // 16, 256)
+    # Tier caps leave generous headroom over the measured north-star split
+    # (~8.6% irregular, ~0.14% big); overflow is counted in `dropped`, and the
+    # floors keep small scenes (tests) uncapped. Big splats are the largest on
+    # screen — dropping them is the most visible possible truncation.
+    n_irr = irr_cap if irr_cap is not None else max(n // 8, 4096)
+    n_big = big_cap if big_cap is not None else max(n // 64, 1024)
     # Post-sort truncation cap: real instances sort before sentinels, so keeping the
     # first `cap` entries only drops work when the real count exceeds it (counted in
     # `dropped`). This bounds every downstream per-index cost (pack gather, kernel
     # blocks, gradient scatter-add). 2N leaves ~27% headroom over the measured
-    # 1.57N real instances at the north-star load (exact per-slot culling).
+    # 1.62N real instances at the north-star load (exact per-slot culling).
     cap = instance_cap if instance_cap is not None else max(2 * n, 4096)
     cap = -(-cap // BLOCK) * BLOCK
 
@@ -180,18 +190,50 @@ def assign_tiles(
     span_x = jnp.minimum(jnp.minimum(tx1 - tx0 + 1, SPAN_W), ntx)
     span_y = jnp.minimum(jnp.minimum(ty1 - ty0 + 1, SPAN_H), nty)
 
-    is_big = (span_x > 2) | (span_y > 2)
-    small_valid = proj.valid & ~is_big
-    keys_small = _tile_rect_keys(
-        tx0, ty0, span_x, span_y, qd, small_valid, ntx, nty, 2, 2, wrap_x,
+    # Tier split: 2-slot fast tier for splats spanning at most 2 tiles along
+    # ONE axis (~91% at the north-star load); 2xMED_SPAN_H irregular tier for
+    # corner (2x2) straddlers and narrow-tall splats; full-rectangle big tier
+    # for the rest. Keeps sorted emission at ~3.5N instead of 4 slots for all.
+    is_corner = (span_x == 2) & (span_y == 2)
+    is_fast = proj.valid & (span_x <= 2) & (span_y <= 2) & ~is_corner
+    fits_med = (span_x <= MED_SPAN_W) & (span_y <= MED_SPAN_H)
+    irr_mask = proj.valid & ~is_fast & fits_med
+    big_mask = proj.valid & ~is_fast & ~fits_med
+
+    # fast tier, slot 0: the top-left tile of the (clamped) rect.
+    keys_f0 = _tile_rect_keys(
+        tx0, ty0, span_x, span_y, qd, is_fast, ntx, nty, 1, 1, wrap_x,
         u, v, rx, ry, float(w),
     ).reshape(-1)
-    gidx_small = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 4)
+    # fast tier, slot 1: the single straddled neighbor (down if span_y == 2,
+    # else right if span_x == 2; sentinel for 1x1 splats).
+    down = span_y == 2
+    tx_s1 = jnp.where(down, tx0, tx0 + 1)
+    ty_s1 = jnp.where(down, ty0 + 1, ty0)
+    has_s1 = is_fast & ((span_x == 2) | (span_y == 2))
+    keys_f1 = _tile_rect_keys(
+        tx_s1, ty_s1, jnp.ones_like(span_x), jnp.ones_like(span_y), qd,
+        has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w),
+    ).reshape(-1)
+    keys_fast = jnp.stack([keys_f0, keys_f1], axis=1).reshape(-1)
+    gidx_fast = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 2)
+    ).reshape(-1)
+
+    # irregular tier: compact, then emit the 2 x MED_SPAN_H rectangle
+    (irr_idx,) = jnp.nonzero(irr_mask, size=n_irr, fill_value=-1)
+    irr_ok = irr_idx >= 0
+    ii = jnp.clip(irr_idx, 0, n - 1)
+    keys_irr = _tile_rect_keys(
+        tx0[ii], ty0[ii], span_x[ii], span_y[ii], qd[ii], irr_ok,
+        ntx, nty, MED_SPAN_H, MED_SPAN_W, wrap_x, u[ii], v[ii], rx[ii],
+        ry[ii], float(w),
+    ).reshape(-1)
+    gidx_irr = jnp.broadcast_to(
+        ii[:, None], (n_irr, MED_SPAN_H * MED_SPAN_W)
     ).reshape(-1)
 
     # big tier: compact the big subset, then emit the full rectangle
-    big_mask = proj.valid & is_big
     (big_idx,) = jnp.nonzero(big_mask, size=n_big, fill_value=-1)
     big_ok = big_idx >= 0
     bi = jnp.clip(big_idx, 0, n - 1)
@@ -203,10 +245,13 @@ def assign_tiles(
     gidx_big = jnp.broadcast_to(
         bi[:, None], (n_big, SPAN_H * SPAN_W)
     ).reshape(-1)
-    dropped = jnp.maximum(jnp.sum(big_mask) - jnp.sum(big_ok), 0)
+    dropped = (
+        jnp.maximum(jnp.sum(irr_mask) - jnp.sum(irr_ok), 0)
+        + jnp.maximum(jnp.sum(big_mask) - jnp.sum(big_ok), 0)
+    )
 
-    keys = jnp.concatenate([keys_small, keys_big])
-    gidx = jnp.concatenate([gidx_small, gidx_big])
+    keys = jnp.concatenate([keys_fast, keys_irr, keys_big])
+    gidx = jnp.concatenate([gidx_fast, gidx_irr, gidx_big])
     # pad K to a block multiple for the kernel's block-granular DMA
     k = keys.shape[0]
     k_pad = -(-k // BLOCK) * BLOCK
@@ -244,5 +289,6 @@ def assign_tiles(
         num_tiles_x=ntx,
         num_tiles_y=nty,
         slot_ids=slot_sorted,
+        irr_idx=irr_idx.astype(jnp.int32),
         big_idx=big_idx.astype(jnp.int32),
     )
