@@ -136,6 +136,25 @@ def _contract_binary(x, m, axes):
     return _contract(hi, m, axes, d) + _contract(lo, m, axes, d)
 
 
+def _contract_split3(a, b, axes):
+    """a . b via a two-sided bf16 split, the negligible lo*lo term dropped.
+
+    hi/lo are bf16-exact, so each DEFAULT MXU pass computes its term exactly
+    (bf16 x bf16 -> f32 accumulate); the only deviation from HIGHEST (six
+    passes) is the omitted lo_a*lo_b term, ~2^-32 relative — three passes for
+    full effective f32 mantissas."""
+    d = jax.lax.Precision.DEFAULT
+    if _PRECISION == d:
+        return _contract(a, b, axes)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    return (
+        _contract(a_hi, b_hi, axes, d)
+        + _contract(a_hi, b_lo, axes, d)
+        + _contract(a_lo, b_hi, axes, d)
+    )
+
+
 def _chunk_alpha(data, px, py, w_img, wrap_x):
     """Per-instance alpha maps for one chunk (pixels-major).
 
@@ -249,7 +268,7 @@ def _forward_kernel(
         w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
 
         cd = data[6:10, :]  # [4, CHUNK]: r g b depth
-        racc[:, 0:4] = racc[:, 0:4] + _contract(w, cd, ((1,), (1,)))
+        racc[:, 0:4] = racc[:, 0:4] + _contract_split3(w, cd, ((1,), (1,)))
         tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
         return j + 1
 
@@ -372,7 +391,7 @@ def _backward_kernel(
             if "gamma" in _ABLATE:
                 gamma = jnp.zeros((N_PIX, CHUNK), jnp.float32)
             else:
-                gamma = _contract(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
+                gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
             psi = w * gamma
             # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
             if "suffix" in _ABLATE:
@@ -387,7 +406,7 @@ def _backward_kernel(
             g_p = g_alpha * alpha  # [N_PIX, CHUNK]
 
             # color/depth grads: dL/dcd[c,k] = sum_p g_rgbd[c,p] w[p,k]
-            g_cd = _contract(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
+            g_cd = _contract_split3(g_rgbd, w, ((1,), (0,)))  # [4, CHUNK]
 
             # Per-instance quadratic sums via ONE moment matmul (MXU) instead
             # of six sublane reductions: M[r,k] = sum_p Pm[r,p] g_p[p,k] gives
@@ -395,19 +414,9 @@ def _backward_kernel(
             # the sums over dx = xl - ul expand binomially from the moments.
             if "moment" in _ABLATE:
                 mom = jnp.zeros((6, CHUNK), jnp.float32)
-            elif _PRECISION == jax.lax.Precision.DEFAULT:
-                mom = _contract(_moment_matrix(), g_p, ((1,), (0,)))
             else:
-                # Two-sided bf16 split, lo*lo term (~2^-32) dropped: three
-                # DEFAULT passes match HIGHEST (six) to ~2^-16 relative.
-                ax = ((1,), (0,))
-                d = jax.lax.Precision.DEFAULT
-                pm_hi, pm_lo = _split_bf16(_moment_matrix())
-                g_hi, g_lo = _split_bf16(g_p)
-                mom = (
-                    _contract(pm_hi, g_hi, ax, d)
-                    + _contract(pm_hi, g_lo, ax, d)
-                    + _contract(pm_lo, g_hi, ax, d)
+                mom = _contract_split3(
+                    _moment_matrix(), g_p, ((1,), (0,))
                 )  # [6, CHUNK]
             m0, mx, my, mxx, myy, mxy = (mom[i : i + 1, :] for i in range(6))
             ul = u_eff - x0  # [1, CHUNK] tile-local instance centers
