@@ -41,6 +41,12 @@ class TrainerConfig:
     num_sanity_val_steps: int = 2
     print_log_every_n_steps: int = 100
     seed: int = 111123
+    # jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+    # written to output_dir/profile (view with tensorboard / xprof). 0 = off.
+    # SURVEY.md §5 tracing parity: the reference has only wall-clock tags; this
+    # is the TPU-native upgrade (per-op XLA timeline).
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 @dataclass(frozen=True)

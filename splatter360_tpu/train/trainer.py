@@ -242,9 +242,24 @@ class Trainer:
             # (num_sanity_val_steps parity, config/main.yaml:74)
             validator.run(state, int(state.step), self.writer)
 
+        # jax.profiler trace window (SURVEY.md §5 tracing; trainer.profile_steps)
+        prof_lo = cfg.trainer.profile_start
+        prof_hi = prof_lo + cfg.trainer.profile_steps
+        profiling = False
+
         batch = first
         t0 = time.perf_counter()
         while int(state.step) < cfg.trainer.max_steps:
+            if cfg.trainer.profile_steps > 0:
+                now = int(state.step)
+                if not profiling and prof_lo <= now < prof_hi:
+                    jax.profiler.start_trace(str(self.out / "profile"))
+                    profiling = True
+                elif profiling and now >= prof_hi:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"profiler trace written to {self.out / 'profile'}")
             sharded = shard_batch(self.mesh, _strip_scene(batch))
             state, metrics = step_fn(state, sharded)
             step = int(state.step)
@@ -275,6 +290,10 @@ class Trainer:
                 )
 
             batch = next(batch_iter)
+
+        if profiling:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
 
         ckpt.save_checkpoint(
             ckpt_dir, int(state.step), jax.device_get(state),
