@@ -26,9 +26,11 @@ moment matmul (MXU) plus MXU matmuls for the color/gamma terms — mirroring the
 CUDA backward's math. Per-Gaussian gradients are recovered outside by the pack
 gather's hand-written transpose (_gather_rows).
 
-Memory layout (tuned around TPU per-index costs — see ops/tiling.py): instances are
-packed once per frame with a SINGLE row gather (attrs[N, 16] -> rows[K, 16]) into
-contiguous [NBLK, ROWS, CHUNK] blocks. Tile segments stay UNALIGNED; the kernels walk
+Memory layout (tuned around TPU gather lowering — see ops/tiling.py and
+scripts/bench_gather.py): per-Gaussian attrs are built LANE-MAJOR [ROWS, N] and
+packed once per frame with a SINGLE lane gather straight into contiguous
+[NBLK, ROWS, CHUNK] blocks (Gaussians never leave the lane dimension — no
+sublane/lane relayout anywhere in the pack or its transpose). Tile segments stay UNALIGNED; the kernels walk
 whole 128-instance blocks with per-lane segment masks (boundary blocks are shared by
 adjacent tiles — harmless on the read side). The backward writes each tile's
 per-block gradients into tile-OWNED output blocks (offsets from a tiny cumsum), so

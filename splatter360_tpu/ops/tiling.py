@@ -5,12 +5,16 @@ sort — SURVEY.md §2.9) with an XLA design tuned around TPU primitive costs (s
 ~4 ns/element; gathers/scatters ~10 ns/index; per-index ops dominate, so the pipeline
 minimizes their count):
 
-  * two-tier instance emission, sorted DIRECTLY (no scatter compaction):
-      - fast tier: every Gaussian emits a static 2x2 tile rectangle (covers every
-        splat with radius <= TILE_H/2; invalid slots get a sentinel key);
-      - big tier: the (rare, pole-stretched) splats needing a larger span are
-        compacted with a capped nonzero() and emit a full SPAN_H x SPAN_W rectangle;
-        overflow beyond the cap is counted in `dropped`.
+  * three-tier instance emission, sorted DIRECTLY (no scatter compaction):
+      - fast tier: every Gaussian emits TWO slots — its home tile plus the single
+        straddled neighbor (covers the ~91% of splats that cross at most one tile
+        boundary; unused slots get a sentinel key);
+      - irregular tier: 2x2-corner straddlers and narrow-tall splats (fits a
+        MED_SPAN_W x MED_SPAN_H rect, ~8.6%) are compacted with a capped
+        nonzero() and emit the medium rectangle;
+      - big tier: the rare pole-stretched splats (~0.14%) emit a full
+        SPAN_H x SPAN_W rectangle; overflow beyond either compacted tier's cap
+        is counted in `dropped`.
   * one single-key sort: key = tile_id << 20 | depth_bits, where depth_bits are the
     top 20 bits of the positive-float32 depth (order-preserving; ~2^-11 relative
     depth resolution for ordering — ties break stably by emission order);
