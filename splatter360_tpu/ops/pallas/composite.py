@@ -72,6 +72,10 @@ _PRECISION = {
     "highest": jax.lax.Precision.HIGHEST,
 }[os.environ.get("SPLAT360_KERNEL_PRECISION", "highest")]
 _EARLY_EXIT = os.environ.get("SPLAT360_KERNEL_EARLY_EXIT", "1") == "1"
+# gamma[p,k] = sum_c g_rgbd[c,p] cd[c,k] is a K=4 contraction — 3 split3 MXU
+# passes use <4% of the systolic array. The VPU variant transposes the 4
+# gradient planes once per tile and accumulates 4 broadcast FMAs per block.
+_GAMMA_VPU = os.environ.get("SPLAT360_GAMMA_VPU", "0") == "1"
 # Backward-kernel cost-bisection ablations (comma list, PERF DEBUGGING ONLY —
 # each one computes WRONG gradients): "dma" skip grad write-backs, "suffix" /
 # "gamma" / "moment" zero out one matmul, "asm" skip the grad row assembly.
@@ -325,6 +329,7 @@ def _backward_kernel(
 
     lt_final = gacc_ref[5:6, :].T    # [N_PIX, 1] log T_final (exact, no clamping)
     g_rgbd = gacc_ref[0:4, :]        # [4, N_PIX]
+    g_rgbd_t = g_rgbd.T if _GAMMA_VPU else None  # [N_PIX, 4], once per tile
     gt_term = (gacc_ref[4:5, :] * jnp.exp(gacc_ref[5:6, :])).T  # g_T * T_final
 
     # Suffix accumulators live in VMEM scratch (updated in place inside the
@@ -392,6 +397,13 @@ def _backward_kernel(
             # gamma[p, k] = c_k . g_rgbd(p) + d_k g_depth(p)  (MXU)
             if "gamma" in _ABLATE:
                 gamma = jnp.zeros((N_PIX, CHUNK), jnp.float32)
+            elif _GAMMA_VPU:
+                gamma = (
+                    g_rgbd_t[:, 0:1] * cd[0:1, :]
+                    + g_rgbd_t[:, 1:2] * cd[1:2, :]
+                    + g_rgbd_t[:, 2:3] * cd[2:3, :]
+                    + g_rgbd_t[:, 3:4] * cd[3:4, :]
+                )  # [N_PIX, CHUNK]
             else:
                 gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
             psi = w * gamma
