@@ -58,6 +58,10 @@ class TestConfig:
     save_video: bool = False
     video_trajectory: str = "interpolate"  # interpolate | wobble | spin
     eval_depth: bool = False
+    # Score on the v*6 rendered cube faces (the reference's protocol,
+    # model_wrapper_erp.py:471-541) instead of the direct-ERP render. Use for
+    # apples-to-apples comparison against published Splatter-360 numbers.
+    eval_on_cubes: bool = False
 
 
 @dataclass(frozen=True)

@@ -57,6 +57,15 @@ class Evaluator:
 
         self._decode_erp = decode_erp
 
+        @jax.jit
+        def decode_cubes(gaussians, extr, near, far):
+            return render_cube_views(
+                gaussians, extr, near, far, (self.face, self.face),
+                backend=cfg.train.render_backend,
+            )
+
+        self._decode_cubes = decode_cubes
+
     def run(self, split: str = "test"):
         cfg = self.cfg
         dataset = SceneDataset(cfg.dataset, split=split, stage="test")
@@ -88,8 +97,21 @@ class Evaluator:
                 )
                 jax.block_until_ready(out.color)
 
-            pred = np.asarray(out.color[0])       # [Vt, H, W, 3]
-            gt = np.asarray(tgt["image_sphere"][0])
+            if cfg.test.eval_on_cubes:
+                # Reference protocol (model_wrapper_erp.py:471-541): metrics on
+                # the v*6 rendered cube faces, not the stitched/direct ERP.
+                faces = self._decode_cubes(
+                    gaussians, tgt["extrinsics_sphere"], tgt["near"],
+                    tgt["far"],
+                )
+                f = self.face
+                pred = np.asarray(faces.color[0]).reshape(-1, f, f, 3)
+                gt = np.asarray(
+                    _context_cubes(tgt["image_sphere"], f)[0]
+                ).reshape(-1, f, f, 3)
+            else:
+                pred = np.asarray(out.color[0])       # [Vt, H, W, 3]
+                gt = np.asarray(tgt["image_sphere"][0])
             psnr = np.asarray(compute_psnr(jnp.asarray(gt), jnp.asarray(pred)))
             ssim = np.asarray(compute_ssim(jnp.asarray(gt), jnp.asarray(pred)))
             entry = {
