@@ -121,10 +121,13 @@ def _contract(a, b, axes, precision=None):
 
 
 def _split_bf16(x):
-    """Exact two-term bf16 split: x == hi + lo with both terms bf16-exact.
+    """Two-term bf16 split: x == hi + lo with hi bf16-exact, |lo| <= 2^-8|x|.
 
-    A DEFAULT-precision MXU pass rounds f32 operands to bf16, so feeding hi
-    and lo through separate passes reconstructs ~2^-16 relative accuracy."""
+    A DEFAULT-precision MXU pass rounds f32 operands to bf16; hi passes
+    through exactly and lo's own rounding error is ~2^-9|lo| = ~2^-17|x|, so
+    feeding the two through separate passes reconstructs ~2^-16 relative
+    accuracy (validated against an emulated bf16 MXU in
+    tests/test_pallas_composite.py::test_bf16_split_mxu_emulation)."""
     hi = x.astype(jnp.bfloat16).astype(jnp.float32)
     return hi, x - hi
 
@@ -145,10 +148,10 @@ def _contract_binary(x, m, axes):
 def _contract_split3(a, b, axes):
     """a . b via a two-sided bf16 split, the negligible lo*lo term dropped.
 
-    hi/lo are bf16-exact, so each DEFAULT MXU pass computes its term exactly
-    (bf16 x bf16 -> f32 accumulate); the only deviation from HIGHEST (six
-    passes) is the omitted lo_a*lo_b term, ~2^-32 relative — three passes for
-    full effective f32 mantissas."""
+    Each DEFAULT MXU pass rounds its operands to bf16 (hi exactly, lo with
+    ~2^-17-relative-of-x error) and accumulates f32; with the ~2^-16 lo terms
+    carried and only the ~2^-32 lo_a*lo_b term omitted, three passes recover
+    effectively full f32 mantissas."""
     d = jax.lax.Precision.DEFAULT
     if _PRECISION == d:
         return _contract(a, b, axes)

@@ -156,3 +156,63 @@ def test_pallas_backward_live_cap_overflow_fallback(scene, monkeypatch):
         a, b = np.asarray(a), np.asarray(b)
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-3, err_msg=name)
+
+
+def test_bf16_split_mxu_emulation():
+    """Guard the bf16-split contraction algebra against an emulated MXU.
+
+    A DEFAULT-precision TPU pass rounds f32 operands to bf16 and accumulates
+    in f32. CPU interpret mode runs contractions in full f32, so this contract
+    is emulated here with explicit ml_dtypes rounding: the 2-pass binary split
+    must match the f64 reference to ~2^-16 relative, the 3-pass two-sided
+    split to ~2^-16 (lo*lo term is ~2^-32)."""
+    import numpy as np
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    n, k, m = 64, 128, 96
+
+    def round_bf16(x):
+        return x.astype(ml_dtypes.bfloat16).astype(np.float32)
+
+    def mxu_default(a, b):
+        # bf16 operand rounding, f32 accumulation
+        return round_bf16(a).astype(np.float64) @ round_bf16(b).astype(
+            np.float64
+        )
+
+    a = rng.normal(0, 1, (n, k)).astype(np.float32) * rng.uniform(
+        0.01, 100, (n, 1)
+    ).astype(np.float32)
+    hi = round_bf16(a)
+    lo = a - hi
+    # hi is bf16-exact; lo (the residual, ~2^-9 of a) is NOT, but its own
+    # rounding error is ~2^-9 * |lo| = ~2^-18 * |a| - below the target bound.
+    np.testing.assert_array_equal(round_bf16(hi), hi)
+    assert np.abs(lo).max() <= np.abs(a).max() * 2**-8
+
+    ref = a.astype(np.float64)
+
+    # binary matrix (exact in bf16): 2 passes reconstruct the product
+    mbin = (rng.uniform(0, 1, (k, m)) > 0.5).astype(np.float32)
+    exact = ref @ mbin.astype(np.float64)
+    two_pass = mxu_default(hi, mbin) + mxu_default(lo, mbin)
+    # error is relative to the magnitude of the summed TERMS (cancellation in
+    # the result itself cannot be blamed on the split)
+    scale_bin = np.abs(ref) @ mbin.astype(np.float64)
+    rel = np.abs(two_pass - exact) / np.maximum(scale_bin, 1e-3)
+    assert rel.max() < 2e-5, rel.max()
+
+    # general matrix: 3 passes (two-sided split, lo*lo dropped)
+    b = rng.normal(0, 1, (k, m)).astype(np.float32) * rng.uniform(
+        0.01, 100, (1, m)
+    ).astype(np.float32)
+    b_hi = round_bf16(b)
+    b_lo = b - b_hi
+    exact = ref @ b.astype(np.float64)
+    three_pass = (
+        mxu_default(hi, b_hi) + mxu_default(hi, b_lo) + mxu_default(lo, b_hi)
+    )
+    scale = (np.abs(ref) @ np.abs(b).astype(np.float64))  # cancellation-aware
+    rel = np.abs(three_pass - exact) / np.maximum(scale, 1e-3)
+    assert rel.max() < 2e-5, rel.max()
