@@ -25,14 +25,10 @@ BASELINE_MPX_S = 21.0
 
 
 def main():
-    import jax
+    from splatter360_tpu.utils.platform import pin_platform_from_env
 
-    # Honor JAX_PLATFORMS despite the ambient TPU plugin registering itself at
-    # interpreter start (same dance as splatter360_tpu/main.py): lets the small
-    # smoke run stay on CPU even when the TPU tunnel is unavailable.
-    plat_env = os.environ.get("JAX_PLATFORMS")
-    if plat_env:
-        jax.config.update("jax_platforms", plat_env)
+    pin_platform_from_env()
+    import jax
     import jax.numpy as jnp
 
     small = os.environ.get("SPLAT360_BENCH_SMALL") == "1"

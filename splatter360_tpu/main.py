@@ -17,14 +17,9 @@ from .config import RootConfig, load_config
 
 
 def main(argv=None):
-    # Honor JAX_PLATFORMS even though the ambient sitecustomize imports jax at
-    # interpreter start (its config snapshot would otherwise ignore the env of
-    # `env JAX_PLATFORMS=cpu python -m splatter360_tpu.main ...`).
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
+    from .utils.platform import pin_platform_from_env
 
-        jax.config.update("jax_platforms", plat)
+    pin_platform_from_env()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     path = None
