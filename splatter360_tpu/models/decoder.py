@@ -85,12 +85,22 @@ def render_cube_views(
     if background is None:
         background = jnp.zeros((3,), extrinsics_sphere.dtype)
 
+    n = gaussians.means.shape[-2]
+
     def one(means, covs, sh, op, c2w, nr, fr):
+        # a 90-degree face sees ~1/6 of the splats (~0.3N instances measured at
+        # the north-star load): cap each face's emission tiers at N-level
+        # headroom instead of the panoramic defaults (2N), shrinking the pack /
+        # kernel-block / gradient-scatter capacities 2x per face. Overflow is
+        # counted in assignment.dropped (real instances sort before sentinels).
         out = render_tiled(
             means, covs, sh, op, c2w, face_shape,
             camera_kind="pinhole", intrinsics=intr, near=nr, far=fr,
             background=background, render_depth=render_depth, backend=backend,
             max_per_tile=max_per_tile,
+            instance_cap=max(n, 4096),
+            irr_cap=max(n // 8, 4096),
+            big_cap=max(n // 64, 1024),
         )
         return out.color, (out.depth if render_depth else jnp.zeros((0,))), out.alpha
 

@@ -43,8 +43,15 @@ def render_tiled(
     render_depth: bool = False,
     backend: str = "pallas",
     max_per_tile: int = 512,
+    instance_cap: Optional[int] = None,
+    big_cap: Optional[int] = None,
+    irr_cap: Optional[int] = None,
 ) -> RenderOutput:
-    """Render one view. Same contract as render_dense (rasterizer_ref.py)."""
+    """Render one view. Same contract as render_dense (rasterizer_ref.py).
+
+    instance_cap/big_cap/irr_cap override assign_tiles' emission-tier caps —
+    pinhole cube faces see ~1/6 of the Gaussians, so the face renderer passes
+    tighter caps to shrink every cap-proportional downstream cost."""
     if background is None:
         background = jnp.zeros((3,), means.dtype)
     if sh_degree is None:
@@ -65,7 +72,10 @@ def render_tiled(
     else:
         colors = sh_colors(harmonics, means, c2w[:3, 3], sh_degree)
 
-    assignment = assign_tiles(proj, image_shape, wrap_x)
+    assignment = assign_tiles(
+        proj, image_shape, wrap_x,
+        big_cap=big_cap, instance_cap=instance_cap, irr_cap=irr_cap,
+    )
 
     if backend == "jax":
         rgb, alpha, dacc = composite_tiles_jax(
