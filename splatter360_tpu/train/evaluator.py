@@ -23,7 +23,9 @@ from ..geometry.transforms import interpolate_pose_6d
 from ..models.decoder import render_cube_views, render_erp_views
 from ..train.state import _context_cubes
 from ..utils.benchmarker import Benchmarker
-from ..utils.image_io import hcat, save_image, save_video
+from ..utils.image_io import (
+    apply_depth_colormap, hcat, save_image, save_video,
+)
 from .metrics import compute_depth_metrics, compute_psnr, compute_ssim
 
 
@@ -142,10 +144,26 @@ class Evaluator:
                     save_image(
                         gt[vi], self.out / scene / f"gt/{vi:04d}.png"
                     )
+                    # per-view error map (reference test_step parity:
+                    # model_wrapper_erp.py saves err_* images per face)
+                    err_img = np.abs(pred[vi] - gt[vi]).mean(axis=-1)
+                    save_image(
+                        apply_depth_colormap(err_img, near=0.0, far=0.5),
+                        self.out / scene / f"err/{vi:04d}.png",
+                    )
                 save_image(
                     hcat(pred[0], gt[0]),
                     self.out / scene / "compare.png",
                 )
+                if cfg.test.eval_depth and out.depth is not None:
+                    d = np.asarray(out.depth[0]) / np.maximum(
+                        np.asarray(out.alpha[0]), 1e-6
+                    )
+                    for vi in range(d.shape[0]):
+                        save_image(
+                            apply_depth_colormap(d[vi]),
+                            self.out / scene / f"depth/{vi:04d}.png",
+                        )
             if cfg.test.save_video:
                 try:
                     traj = getattr(cfg.test, "video_trajectory", "interpolate")
