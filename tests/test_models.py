@@ -233,3 +233,31 @@ def test_spherical_sweep_warp_identity():
     )
     for d in range(3):
         assert float(jnp.max(jnp.abs(out[d] - feats))) < 1e-5
+
+
+@pytest.mark.parametrize("v", [3, 4])
+def test_encoder_multiview_contexts(v):
+    """Reference parity: 3- and 4-context-view configs (the *_3views/_4views
+    evaluation indices; cyclic-permutation cost volume averages over all other
+    views, depth_predictor_multiview_360.py:299-329)."""
+    import jax
+    import jax.numpy as jnp
+    from __graft_entry__ import _make_batch, _tiny_encoder_cfg
+    from splatter360_tpu.models.encoder import EncoderCostVolume360
+    from splatter360_tpu.train.state import _context_cubes
+
+    cfg = _tiny_encoder_cfg()
+    enc = EncoderCostVolume360(cfg)
+    h, w = 32, 64
+    ctx = _make_batch(1, v, h, w)["context"]
+    cubes = _context_cubes(jnp.asarray(ctx["image_sphere"]), h // 2)
+    args = (
+        jnp.asarray(ctx["image_sphere"]), cubes,
+        jnp.asarray(ctx["extrinsics_sphere"]), jnp.asarray(ctx["near"]),
+        jnp.asarray(ctx["far"]), 0,
+    )
+    params = enc.init(jax.random.PRNGKey(0), *args)
+    g, depth = enc.apply(params, *args)
+    assert g.means.shape == (1, v * h * w, 3)
+    assert depth.shape == (1, v, h, w)
+    assert bool(jnp.all(jnp.isfinite(g.means)))
