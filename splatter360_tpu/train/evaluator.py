@@ -119,6 +119,7 @@ class Evaluator:
             entry = {
                 "psnr": float(psnr.mean()),
                 "ssim": float(ssim.mean()),
+                "mse": float(np.mean((pred - gt) ** 2)),
             }
             if self.lpips_fn is not None:
                 entry["lpips"] = float(
@@ -223,6 +224,12 @@ class Evaluator:
             (out / f"scores_{k}_all.json").write_text(
                 json.dumps({s: v.get(k) for s, v in scores.items()}, indent=2)
             )
+        # per-scene MSE artifact (reference on_test_end parity: mse_dict.json)
+        (out / "mse_dict.json").write_text(
+            json.dumps(
+                {s: v.get("mse") for s, v in scores.items()}, indent=2
+            )
+        )
         # timing: skip warm-up steps (eval_time_skip_steps parity)
         bench = {}
         for tag, times in self.benchmarker.execution_times.items():
