@@ -181,3 +181,25 @@ def erp_distance_to_cube_zdepth_factor(face_w: int) -> jnp.ndarray:
     """[6, face_w, face_w] multiplicative factor: ray distance -> face z-depth."""
     _, cos_factor = erp_to_cube_grid(4 * face_w, 2 * face_w, face_w)
     return jnp.asarray(cos_factor)
+
+
+def zdepth_to_distance(zdepth: jnp.ndarray, fx, fy, cx, cy) -> jnp.ndarray:
+    """Pinhole z-depth map -> euclidean ray-distance map.
+
+    distance = z * |((u - cx)/fx, (v - cy)/fy, 1)| with u, v NORMALIZED pixel
+    centers ((col + 0.5)/W, (row + 0.5)/H) and normalized intrinsics (the cube
+    rig uses fx = fy = 0.5, cx = cy = 0.5). Reference parity:
+    src/geometry/z_depth_to_distance.py:4-34 (`depth_to_distance_map_batch`) —
+    with its latent `torch.meshgrid` ij/xy transpose FIXED here (the bug cancels
+    in the reference only because fx == fy and the principal point is centered;
+    this implementation indexes u along width and v along height explicitly).
+
+    zdepth: [..., h, w]; intrinsics are scalars (python/np/jnp).
+    """
+    h, w = zdepth.shape[-2], zdepth.shape[-1]
+    u = (jnp.arange(w, dtype=zdepth.dtype) + 0.5) / w  # along width
+    v = (jnp.arange(h, dtype=zdepth.dtype) + 0.5) / h  # along height
+    xn = (u[None, :] - cx) / fx  # [1, w]
+    yn = (v[:, None] - cy) / fy  # [h, 1]
+    norm = jnp.sqrt(1.0 + xn * xn + yn * yn)  # [h, w]
+    return zdepth * norm

@@ -172,6 +172,7 @@ class Evaluator:
                         gaussians, ctx["extrinsics_sphere"][0],
                         float(tgt["near"][0, 0]), float(tgt["far"][0, 0]),
                         self.out / scene / f"{traj}.mp4", trajectory=traj,
+                        with_depth=cfg.test.eval_depth,
                     )
                 except Exception as e:  # video export must not abort scoring
                     print(f"warning: video export failed for {scene}: {e}")
@@ -181,14 +182,19 @@ class Evaluator:
         return scores
 
     def render_video(self, gaussians, ctx_extr, near, far, path, n_frames=60,
-                     trajectory: str = "interpolate"):
+                     trajectory: str = "interpolate", with_depth: bool = False):
         """Trajectory video (render_video_generic parity,
         model_wrapper_erp.py:726-742,891-979): 6D-interpolation between the two
-        context poses (default), or wobble/spin around the first context pose."""
+        context poses (default), or wobble/spin around the first context pose.
+        With `with_depth`, also writes a `<stem>_depth.mp4` colormapped depth
+        video (the reference stitches cube z-depth renders via z->distance +
+        c2e, model_wrapper_erp.py:446-463; the direct-ERP renderer emits ray
+        distance natively, so no stitching pass is needed)."""
         from ..geometry.transforms import trajectory_spin, trajectory_wobble
 
         ts = np.linspace(0, 1, n_frames)
         frames = []
+        depth_frames = []
         for t in ts:
             if trajectory == "wobble":
                 baseline = float(
@@ -206,9 +212,22 @@ class Evaluator:
                 pose[None, None],
                 jnp.full((1, 1), near),
                 jnp.full((1, 1), far),
+                render_depth=with_depth,
             )
             frames.append(np.asarray(out.color[0, 0]))
+            if with_depth:
+                d = np.asarray(out.depth[0, 0]) / np.maximum(
+                    np.asarray(out.alpha[0, 0]), 1e-6
+                )
+                depth_frames.append(d)
         save_video(frames, path)
+        if with_depth:
+            lo = min(float(d.min()) for d in depth_frames)
+            hi = max(float(d.max()) for d in depth_frames)
+            save_video(
+                [apply_depth_colormap(d, lo, hi) for d in depth_frames],
+                Path(path).with_name(Path(path).stem + "_depth.mp4"),
+            )
 
     def finalize(self, scores: dict, skip: int = 0):
         out = self.out

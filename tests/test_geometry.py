@@ -196,3 +196,38 @@ def test_sh_dc_only_rotation_invariant():
     rot = quaternion_to_matrix(jnp.array([0.5, 0.5, 0.5, 0.5]))
     sh_rot = rotate_sh(sh, rot, 4)
     np.testing.assert_allclose(np.asarray(sh_rot), np.asarray(sh), atol=1e-5)
+
+
+def test_zdepth_to_distance_inverts_cube_cos_factor():
+    """distance -> z (cosmaps factor) -> distance round-trips on every face.
+
+    The cube rig's z-depth factor is the cosine to the face normal; for the
+    normalized fx=fy=cx=cy=0.5 face intrinsics, zdepth_to_distance must be its
+    exact multiplicative inverse (reference z_depth_to_distance.py:4-34, with
+    the meshgrid transpose fixed — this test would catch a u/v swap because the
+    factor map is not symmetric under transpose for non-square features, and we
+    additionally check an asymmetric distance field).
+    """
+    from splatter360_tpu.geometry.cubemap import (
+        erp_distance_to_cube_zdepth_factor, zdepth_to_distance,
+    )
+
+    fw = 16
+    factor = np.asarray(erp_distance_to_cube_zdepth_factor(fw))  # [6, fw, fw]
+    rng = np.random.RandomState(0)
+    dist = 1.0 + rng.rand(6, fw, fw).astype(np.float32) * 4.0
+    z = dist * factor
+    back = np.asarray(zdepth_to_distance(jnp.asarray(z), 0.5, 0.5, 0.5, 0.5))
+    np.testing.assert_allclose(back, dist, rtol=2e-5)
+
+
+def test_zdepth_to_distance_axis_orientation():
+    """u varies along width, v along height (the reference's latent bug)."""
+    from splatter360_tpu.geometry.cubemap import zdepth_to_distance
+
+    h, w = 4, 8
+    z = jnp.ones((h, w))
+    # fx huge -> x contribution ~0; distance varies along HEIGHT only.
+    d = np.asarray(zdepth_to_distance(z, 1e9, 0.5, 0.5, 0.5))
+    assert np.allclose(d, d[:, :1], atol=1e-6)  # constant along width
+    assert not np.allclose(d, d[:1, :], atol=1e-3)  # varies along height
