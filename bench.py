@@ -82,10 +82,16 @@ def main():
         else:
             raise
 
+    # Enqueue all steps, then block ONCE: steps are dependency-free, so this
+    # measures device throughput instead of adding a host<->device round trip
+    # per step (the axon TPU tunnel costs ~4 ms/sync, which at ~100 ms/step
+    # would deflate the number ~25%).
     steps = 3 if small else 10
     t0 = time.perf_counter()
+    grads = None
     for _ in range(steps):
-        run_once()
+        grads = fwd_bwd(*args)
+    jax.block_until_ready(grads)
     dt = (time.perf_counter() - t0) / steps
 
     mpx_s = (h * w) / dt / 1e6
