@@ -142,7 +142,7 @@ def main():
         pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
         cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
         a2 = TileAssignment(gidx, tids, starts, counts,
-                            jnp.int32(0), ntx, nty, None, None, None)
+                            jnp.int32(0), ntx, nty, None, ())
         rgb, alpha, dacc = composite_tiles_pallas(
             a2, pr.mean2d, pr.conic, cols, op, pr.depth, pr.radius,
             (H, W), jnp.zeros((3,), jnp.float32), True)
@@ -154,7 +154,7 @@ def main():
             pr = P.project_erp(means, covs, c2w, (H, W), 0.1)
             cols = P.sh_colors(sh, means, c2w[:3, 3], SH_DEG)
             a2 = TileAssignment(gidx, tids, starts, counts,
-                                jnp.int32(0), ntx, nty, None, None, None)
+                                jnp.int32(0), ntx, nty, None, ())
             rgb, alpha, dacc = composite_tiles_pallas(
                 a2, pr.mean2d, pr.conic, cols, op, pr.depth, pr.radius,
                 (H, W), jnp.zeros((3,), jnp.float32), True)

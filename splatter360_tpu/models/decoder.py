@@ -99,8 +99,6 @@ def render_cube_views(
             background=background, render_depth=render_depth, backend=backend,
             max_per_tile=max_per_tile,
             instance_cap=max(n, 4096),
-            irr_cap=max(n // 8, 4096),
-            big_cap=max(n // 64, 1024),
         )
         return out.color, (out.depth if render_depth else jnp.zeros((0,))), out.alpha
 

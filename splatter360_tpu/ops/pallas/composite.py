@@ -52,7 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..tiling import (
-    BLOCK, MED_SPAN_H, MED_SPAN_W, SPAN_H, SPAN_W, TILE_H, TILE_W,
+    BLOCK, COMPACT_TIERS, TILE_H, TILE_W,
     TileAssignment,
 )
 
@@ -488,40 +488,40 @@ def _backward_kernel(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_rows(n, attrs, gidx, slot, irr_idx, big_idx):
+def _gather_rows(n, attrs, gidx, slot, tier_idx):
     """attrs[N, ROWS] -> rows[K, ROWS] with a fast hand-written transpose.
 
     The autograd transpose of this gather is a K-row scatter-add into N
     Gaussians — measured ~270 ms at the north-star load (K=2.6M), the single
     biggest cost of the fwd+bwd pipeline. Because the emission layout is
-    structured ([N, 2] fast-tier slots, then [n_irr, MED_SPAN] irregular-tier,
-    then [n_big, SPAN] big-tier slots, each emission slot used at most once),
-    the transpose is instead:
+    structured ([N, 2] fast-tier slots, then one [cap_i, span_i] block per
+    COMPACT_TIERS entry, each emission slot used at most once), the transpose
+    is instead:
 
       inv[s] = sorted position of emission slot s (one unique int32 scatter)
       g_em   = g_rows[inv]                        (row gather, K_em rows)
       g_fast = g_em[:2N]  .reshape(N, 2, ROWS).sum(1)     (layout reduction)
-      g_irr/g_big = per-tier reshape-sums, scatter-added at irr_idx/big_idx
-               (n_irr ~ N/8, n_big ~ N/64 rows: tiny scatters)
+      per compacted tier: reshape-sum, scatter-added at tier_idx[i]
+               (cap_i ~ N/8 .. N/256 rows: tiny scatters)
 
     measured ~6x cheaper than the scatter-add (sort/gather/reduce vs per-index
     scatter costs — see scripts/bench_scatter.py)."""
-    del slot, irr_idx, big_idx
+    del slot, tier_idx
     return attrs[gidx]
 
 
-def _gather_rows_fwd(n, attrs, gidx, slot, irr_idx, big_idx):
-    return attrs[gidx], (slot, irr_idx, big_idx)
+def _gather_rows_fwd(n, attrs, gidx, slot, tier_idx):
+    return attrs[gidx], (slot, tier_idx)
 
 
 def _gather_rows_bwd(n, res, g_rows):
-    slot, irr_idx, big_idx = res
+    slot, tier_idx = res
     k = g_rows.shape[0]
-    ni = irr_idx.shape[0]
-    nb = big_idx.shape[0]
-    mspan = MED_SPAN_H * MED_SPAN_W
-    span = SPAN_H * SPAN_W
-    e = -(-(2 * n + ni * mspan + nb * span) // CHUNK) * CHUNK  # emission size
+    spans = [sh * sw for sh, sw, _, _ in COMPACT_TIERS]
+    e_real = 2 * n + sum(
+        idx.shape[0] * sp for idx, sp in zip(tier_idx, spans)
+    )
+    e = -(-e_real // CHUNK) * CHUNK  # emission size
     inv = (
         jnp.full((e,), k, jnp.int32)
         .at[slot]
@@ -529,18 +529,18 @@ def _gather_rows_bwd(n, res, g_rows):
     )
     g_em = g_rows[jnp.clip(inv, 0, k - 1)]
     g_em = jnp.where((inv < k)[:, None], g_em, 0.0)
-    g_attrs = g_em[: 2 * n].reshape(n, 2, -1).sum(axis=1)
-    o_irr = 2 * n
-    o_big = o_irr + ni * mspan
-    for seg, idx, sp in (
-        (g_em[o_irr:o_big], irr_idx, mspan),
-        (g_em[o_big : o_big + nb * span], big_idx, span),
-    ):
-        g_seg = seg.reshape(-1, sp, g_rows.shape[1]).sum(axis=1)
+    # Emission layout is slot-major ([2, N] fast tier, [span_i, cap_i] per
+    # compacted tier — see assign_tiles), so tier reductions sum over axis 0.
+    g_attrs = g_em[: 2 * n].reshape(2, n, -1).sum(axis=0)
+    off = 2 * n
+    for idx, sp in zip(tier_idx, spans):
+        seg = g_em[off : off + idx.shape[0] * sp]
+        off += idx.shape[0] * sp
+        g_seg = seg.reshape(sp, -1, g_rows.shape[1]).sum(axis=0)
         ok = idx >= 0
         g_seg = jnp.where(ok[:, None], g_seg, 0.0)
         g_attrs = g_attrs.at[jnp.where(ok, idx, n)].add(g_seg, mode="drop")
-    return g_attrs, None, None, None, None
+    return g_attrs, None, None, None
 
 
 _gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
@@ -605,7 +605,7 @@ def _pack_instances(
     attrs = _build_attrs(mean2d, conic, colors, opacities, depths, radii)
     rows = _gather_rows(
         n, attrs, assignment.gaussian_idx, assignment.slot_ids,
-        assignment.irr_idx, assignment.big_idx,
+        assignment.tier_idx,
     )  # [K, ROWS] — the one gather (custom transpose, see _gather_rows)
     valid = assignment.tile_ids < t_total
     rows = jnp.where(valid[:, None], rows, 0.0)

@@ -44,12 +44,11 @@ def render_tiled(
     backend: str = "pallas",
     max_per_tile: int = 512,
     instance_cap: Optional[int] = None,
-    big_cap: Optional[int] = None,
-    irr_cap: Optional[int] = None,
+    tier_caps: Optional[tuple[int, ...]] = None,
 ) -> RenderOutput:
     """Render one view. Same contract as render_dense (rasterizer_ref.py).
 
-    instance_cap/big_cap/irr_cap override assign_tiles' emission-tier caps —
+    instance_cap/tier_caps override assign_tiles' emission-tier caps —
     pinhole cube faces see ~1/6 of the Gaussians, so the face renderer passes
     tighter caps to shrink every cap-proportional downstream cost."""
     if background is None:
@@ -74,7 +73,7 @@ def render_tiled(
 
     assignment = assign_tiles(
         proj, image_shape, wrap_x,
-        big_cap=big_cap, instance_cap=instance_cap, irr_cap=irr_cap,
+        instance_cap=instance_cap, tier_caps=tier_caps,
     )
 
     if backend == "jax":

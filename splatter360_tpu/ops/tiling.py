@@ -1,25 +1,26 @@
 """Tile binning + depth sorting for the tiled rasterizer (static shapes, jit-friendly).
 
 Replaces the CUDA rasterizer's duplicate-expand + radix-sort stage (tile binning, depth
-sort — SURVEY.md §2.9) with an XLA design tuned around TPU primitive costs (sorts are
-~4 ns/element; gathers/scatters ~10 ns/index; per-index ops dominate, so the pipeline
-minimizes their count):
+sort — SURVEY.md §2.9) with an XLA design tuned around measured TPU primitive costs
+(v5e, 3.67M-key load): 2-op sort 10.9 ms, 1-op sort-compaction 3.6 ms,
+`jnp.nonzero(size=)` 12.2 ms, `searchsorted` with T+1 queries 2.5 ms; per-index
+scatters ~10 ns/index. Sorts are the cheapest bulk reorder, so everything that was a
+scatter/compaction in round 1 is a sort here:
 
-  * three-tier instance emission, sorted DIRECTLY (no scatter compaction):
+  * four-tier instance emission, sorted DIRECTLY (no scatter compaction):
       - fast tier: every Gaussian emits TWO slots — its home tile plus the single
-        straddled neighbor (covers the ~91% of splats that cross at most one tile
-        boundary; unused slots get a sentinel key);
-      - irregular tier: 2x2-corner straddlers and narrow-tall splats (fits a
-        MED_SPAN_W x MED_SPAN_H rect, ~8.6%) are compacted with a capped
-        nonzero() and emit the medium rectangle;
-      - big tier: the rare pole-stretched splats (~0.14%) emit a full
-        SPAN_H x SPAN_W rectangle; overflow beyond either compacted tier's cap
-        is counted in `dropped`.
+        straddled neighbor (covers splats crossing at most one tile boundary);
+      - corner tier (2x2), tall tier (MED_SPAN_W x MED_SPAN_H), and big tier
+        (SPAN_W x SPAN_H pole-stretched rects) are compacted together by ONE
+        single-operand sort of a (tier, index) key; each tier's window is read
+        with a dynamic_slice at the running tier count. Overflow beyond any
+        tier cap is counted in `dropped`.
   * one single-key sort: key = tile_id << 20 | depth_bits, where depth_bits are the
     top 20 bits of the positive-float32 depth (order-preserving; ~2^-11 relative
     depth resolution for ordering — ties break stably by emission order);
-  * per-tile segments via a searchsorted with T+1 queries (queries are cheap; the
-    many-query direction costs ~70 ns/query and is avoided everywhere).
+  * per-tile segments via a fused one-hot histogram over the sorted tile ids
+    (compare+reduce streams at VPU rate; measured ~4x cheaper than the
+    searchsorted it replaces) followed by an exclusive cumsum over T tiles.
 
 Tiles are TILE_H x TILE_W = 16 x 128 pixels — lane-aligned and matched to the
 horizontal anisotropy of pole-stretched ERP splats. The azimuth seam is handled by
@@ -51,12 +52,18 @@ BLOCK = 128  # instance chunk granularity (== pallas kernel CHUNK)
 # 512 px wide x 128 px tall (pole-stretched ERP splats).
 SPAN_W = max(512 // TILE_W, 2)
 SPAN_H = max(128 // TILE_H, 2)
-# Irregular-tier rectangle (2 wide x up-to-4 tall tiles): catches the 2x2
-# corner straddlers plus narrow-but-tall splats, so the per-Gaussian fast tier
-# can stay at TWO slots. At the north-star load the split is ~91% fast-2 /
-# ~8.6% irregular / ~0.14% big, which cuts sorted emission from 6.3N to 3.5N.
+# Tall-tier rectangle (2 wide x up-to-4 tall tiles): narrow-but-tall splats.
 MED_SPAN_W = 2
 MED_SPAN_H = min(4, SPAN_H)
+# Compacted emission tiers, emitted after the [N, 2] fast tier in this order:
+# (span_h, span_w, cap_divisor, cap_floor). Caps are n // divisor (>= floor);
+# measured rates at the north-star load leave 2-10x headroom per tier, and any
+# overflow is counted in `dropped` (surfaced through render outputs).
+COMPACT_TIERS = (
+    (2, 2, 8, 2048),                  # corner: 2x2 straddlers
+    (MED_SPAN_H, MED_SPAN_W, 32, 1024),  # tall: span_y in 3..MED_SPAN_H, narrow
+    (SPAN_H, SPAN_W, 256, 1024),      # big: the rare pole-stretched splats
+)
 _DEPTH_BITS = 20
 # Plain Python int, NOT jnp.int32: a module-level jnp scalar would allocate on
 # the default backend at import time (with the ambient axon TPU plugin that
@@ -69,19 +76,18 @@ class TileAssignment(NamedTuple):
     tile_ids: jnp.ndarray      # [K] int32 tile of each sorted instance (>=T: invalid)
     tile_starts: jnp.ndarray   # [T] int32 start offset of each tile's segment
     tile_counts: jnp.ndarray   # [T] int32 number of instances per tile
-    dropped: jnp.ndarray       # [] int32 big-tier instances lost to the cap
+    dropped: jnp.ndarray       # [] int32 instances lost to tier/instance caps
     num_tiles_x: int
     num_tiles_y: int
     # Emission-slot bookkeeping for the unfused pack gather's fast transpose
     # (see ops/pallas/composite.py::_gather_rows): slot s of each sorted
-    # instance in the PRE-SORT emission layout ([N, 2] fast tier, then
-    # [n_irr, MED_SPAN] irregular tier, then [n_big, SPAN] big tier), and the
-    # compacted per-tier Gaussian indices (-1 = empty slot). Only carried when
+    # instance in the PRE-SORT emission layout ([N, 2] fast tier, then one
+    # [cap_i, span_i] block per COMPACT_TIERS entry), and the compacted
+    # per-tier Gaussian indices (-1 = empty slot). Only carried when
     # `with_slots=True` — the production fused path (_render_core) never reads
     # them, and dropping the third sort operand saves a third of the sort.
     slot_ids: Optional[jnp.ndarray]  # [K] int32 emission slot, or None
-    irr_idx: jnp.ndarray       # [n_irr] int32 Gaussian index of each irr slot
-    big_idx: jnp.ndarray       # [n_big] int32 Gaussian index of each big slot
+    tier_idx: tuple                  # len(COMPACT_TIERS) arrays [cap_i] int32
 
 
 def num_tiles(image_shape: tuple[int, int]) -> tuple[int, int]:
@@ -99,7 +105,11 @@ def _tile_rect_keys(
     tx0, ty0, span_x, span_y, qd, valid, ntx, nty, sh, sw, wrap_x,
     u, v, rx, ry, w_img,
 ):
-    """Emit keys for an sh x sw tile rectangle. Returns [N, sh, sw] int32 keys.
+    """Emit keys for an sh x sw tile rectangle. Returns [sh, sw, C] int32 keys.
+
+    The splat index C stays on the LANE (last) dimension throughout — a
+    [C, sh, sw] layout would run every op at sh*sw/128 lane utilization
+    (measured ~6 ms of pure lane waste per binning at the north-star load).
 
     Each slot is additionally culled by the exact counterpart of the
     compositor's |dx| <= rx, |dy| <= ry gate: a slot whose tile box of
@@ -110,48 +120,66 @@ def _tile_rect_keys(
     scatter). Under wrap the test re-centers u modulo the image width to the
     WRAPPED tile box, mirroring the kernel (clamped spans can wrap a slot far
     from its unwrapped position)."""
-    sy = jnp.arange(sh, dtype=jnp.int32)
-    sx = jnp.arange(sw, dtype=jnp.int32)
-    tile_x = tx0[:, None] + sx[None, :]
-    tile_y = ty0[:, None] + sy[None, :]
+    sy = jnp.arange(sh, dtype=jnp.int32)[:, None, None]   # [sh, 1, 1]
+    sx = jnp.arange(sw, dtype=jnp.int32)[None, :, None]   # [1, sw, 1]
+    tile_x = tx0[None, None, :] + sx                      # [1, sw, C]
+    tile_y = ty0[None, None, :] + sy                      # [sh, 1, C]
     if wrap_x:
         tile_x = jnp.mod(tile_x, ntx)
-    x_lo = (tile_x * TILE_W).astype(u.dtype)            # [N, sw]
-    y_lo = (tile_y * TILE_H).astype(v.dtype)            # [N, sh]
+    x_lo = (tile_x * TILE_W).astype(u.dtype)
+    y_lo = (tile_y * TILE_H).astype(v.dtype)
     if wrap_x:
         # Same re-centering expression as the compositor kernels (x0 + TILE_W/2,
         # ops/pallas/composite.py::_chunk_alpha) so cull and composite agree on the
         # wrap image bit-for-bit.
         xc = x_lo + TILE_W * 0.5
-        u_eff = u[:, None] + w_img * jnp.round((xc - u[:, None]) / w_img)
+        u_eff = u[None, None, :] + w_img * jnp.round((xc - u[None, None, :]) / w_img)
     else:
-        u_eff = u[:, None]
+        u_eff = u[None, None, :]
     dx = jnp.maximum(
         jnp.maximum(x_lo - u_eff, u_eff - (x_lo + TILE_W - 1)), 0.0
     )
     dy = jnp.maximum(
-        jnp.maximum(y_lo - v[:, None], v[:, None] - (y_lo + TILE_H - 1)), 0.0
+        jnp.maximum(y_lo - v[None, None, :], v[None, None, :] - (y_lo + TILE_H - 1)),
+        0.0,
     )
-    hit = (dy[:, :, None] <= ry[:, None, None]) & (dx[:, None, :] <= rx[:, None, None])
-    tile_id = tile_y[:, :, None] * ntx + tile_x[:, None, :]
+    hit = (dy <= ry[None, None, :]) & (dx <= rx[None, None, :])
+    tile_id = tile_y * ntx + tile_x
     ok = (
-        (sy[None, :, None] < span_y[:, None, None])
-        & (sx[None, None, :] < span_x[:, None, None])
-        & valid[:, None, None]
+        (sy < span_y[None, None, :])
+        & (sx < span_x[None, None, :])
+        & valid[None, None, :]
         & hit
     )
-    key = jax.lax.shift_left(tile_id, _DEPTH_BITS) | qd[:, None, None]
+    key = jax.lax.shift_left(tile_id, _DEPTH_BITS) | qd[None, None, :]
     return jnp.where(ok, key, _SENTINEL)
+
+
+def _tile_segments(keys_sorted: jnp.ndarray, t_total: int):
+    """Per-tile (starts, counts) from the sorted keys.
+
+    counts[t] = #instances of tile t via a fused one-hot compare+reduce over
+    the sorted tile ids (streams at VPU rate — measured ~4x cheaper than a
+    T+1-query searchsorted, whose binary-search gathers serialize); starts is
+    then an exclusive cumsum, exact because real keys sort before sentinels.
+    """
+    tile_ids = jax.lax.shift_right_logical(keys_sorted, _DEPTH_BITS)
+    tid_m = tile_ids.reshape(-1, BLOCK)
+    tvals = jnp.arange(t_total, dtype=jnp.int32)
+    counts = jnp.sum(
+        tid_m[:, :, None] == tvals[None, None, :], axis=(0, 1), dtype=jnp.int32
+    )
+    starts = jnp.cumsum(counts) - counts
+    return starts.astype(jnp.int32), counts, tile_ids.astype(jnp.int32)
 
 
 def assign_tiles(
     proj: Projected,
     image_shape: tuple[int, int],
     wrap_x: bool,
-    big_cap: Optional[int] = None,
     instance_cap: Optional[int] = None,
+    tier_caps: Optional[tuple[int, ...]] = None,
     with_slots: bool = False,
-    irr_cap: Optional[int] = None,
 ) -> TileAssignment:
     nty, ntx = num_tiles(image_shape)
     _, w = image_shape
@@ -161,12 +189,9 @@ def assign_tiles(
         f"{t_total} tiles overflow the sort key; use larger tiles"
     )
     n = proj.mean2d.shape[0]
-    # Tier caps leave generous headroom over the measured north-star split
-    # (~8.6% irregular, ~0.14% big); overflow is counted in `dropped`, and the
-    # floors keep small scenes (tests) uncapped. Big splats are the largest on
-    # screen — dropping them is the most visible possible truncation.
-    n_irr = irr_cap if irr_cap is not None else max(n // 8, 4096)
-    n_big = big_cap if big_cap is not None else max(n // 64, 1024)
+    if tier_caps is None:
+        tier_caps = tuple(max(n // div, floor) for _, _, div, floor in COMPACT_TIERS)
+    assert len(tier_caps) == len(COMPACT_TIERS)
     # Post-sort truncation cap: real instances sort before sentinels, so keeping the
     # first `cap` entries only drops work when the real count exceeds it (counted in
     # `dropped`). This bounds every downstream per-index cost (pack gather, kernel
@@ -195,14 +220,15 @@ def assign_tiles(
     span_y = jnp.minimum(jnp.minimum(ty1 - ty0 + 1, SPAN_H), nty)
 
     # Tier split: 2-slot fast tier for splats spanning at most 2 tiles along
-    # ONE axis (~91% at the north-star load); 2xMED_SPAN_H irregular tier for
-    # corner (2x2) straddlers and narrow-tall splats; full-rectangle big tier
-    # for the rest. Keeps sorted emission at ~3.5N instead of 4 slots for all.
+    # ONE axis; 2x2 corner tier; narrow-tall tier; full-rectangle big tier.
     is_corner = (span_x == 2) & (span_y == 2)
     is_fast = proj.valid & (span_x <= 2) & (span_y <= 2) & ~is_corner
-    fits_med = (span_x <= MED_SPAN_W) & (span_y <= MED_SPAN_H)
-    irr_mask = proj.valid & ~is_fast & fits_med
-    big_mask = proj.valid & ~is_fast & ~fits_med
+    fits_tall = (span_x <= MED_SPAN_W) & (span_y <= MED_SPAN_H)
+    masks = (
+        proj.valid & is_corner,
+        proj.valid & ~is_fast & ~is_corner & fits_tall,
+        proj.valid & ~is_fast & ~is_corner & ~fits_tall,
+    )
 
     # fast tier, slot 0: the top-left tile of the (clamped) rect.
     keys_f0 = _tile_rect_keys(
@@ -219,43 +245,76 @@ def assign_tiles(
         tx_s1, ty_s1, jnp.ones_like(span_x), jnp.ones_like(span_y), qd,
         has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w),
     ).reshape(-1)
-    keys_fast = jnp.stack([keys_f0, keys_f1], axis=1).reshape(-1)
-    gidx_fast = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, 2)
-    ).reshape(-1)
+    # Emission layout is SLOT-MAJOR everywhere ([2, N] fast tier, [span_i,
+    # cap_i] per compacted tier): the splat index stays on lanes, so no
+    # interleaving relayout is ever materialized. _gather_rows_bwd mirrors
+    # this with reshape(span, cap, ROWS).sum(0) reductions.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keys_parts = [keys_f0, keys_f1]
+    gidx_parts = [iota, iota]
 
-    # irregular tier: compact, then emit the 2 x MED_SPAN_H rectangle
-    (irr_idx,) = jnp.nonzero(irr_mask, size=n_irr, fill_value=-1)
-    irr_ok = irr_idx >= 0
-    ii = jnp.clip(irr_idx, 0, n - 1)
-    keys_irr = _tile_rect_keys(
-        tx0[ii], ty0[ii], span_x[ii], span_y[ii], qd[ii], irr_ok,
-        ntx, nty, MED_SPAN_H, MED_SPAN_W, wrap_x, u[ii], v[ii], rx[ii],
-        ry[ii], float(w),
-    ).reshape(-1)
-    gidx_irr = jnp.broadcast_to(
-        ii[:, None], (n_irr, MED_SPAN_H * MED_SPAN_W)
-    ).reshape(-1)
+    # Compacted tiers: ONE single-operand sort of key = tier*n + index replaces
+    # the per-tier nonzero() compactions (each of which lowered to a 3x costlier
+    # pass). Tier windows of the sorted keys are read at the running count
+    # offsets with a 2D LANE gather (jnp.take along axis 1 — ~1 ns/lane,
+    # vs ~9 ns/index for 1D gathers and a compile to full-array shuffles for
+    # traced-start dynamic_slice); indices are recovered as key - tier*n, in
+    # stable ascending order exactly like nonzero's.
+    code = jnp.full((n,), jnp.int32(len(masks)))
+    for i, m in enumerate(masks):
+        code = jnp.where(m, jnp.int32(i), code)
+    (sorted_codes,) = jax.lax.sort((code * jnp.int32(n) + iota,), num_keys=1)
+    tier_counts = [jnp.sum(m, dtype=jnp.int32) for m in masks]
+    # window positions: tier i occupies [sum(counts[:i]), +cap_i), clamped pad
+    pos_parts = []
+    start = jnp.int32(0)
+    for i, cap_t in enumerate(tier_caps):
+        pos_parts.append(start + jnp.arange(cap_t, dtype=jnp.int32))
+        start = start + tier_counts[i]
+    pos = jnp.clip(jnp.concatenate(pos_parts), 0, n - 1)
+    win = jnp.take(sorted_codes[None, :], pos, axis=1)[0]  # [sum caps] lane gather
 
-    # big tier: compact the big subset, then emit the full rectangle
-    (big_idx,) = jnp.nonzero(big_mask, size=n_big, fill_value=-1)
-    big_ok = big_idx >= 0
-    bi = jnp.clip(big_idx, 0, n - 1)
-    keys_big = _tile_rect_keys(
-        tx0[bi], ty0[bi], span_x[bi], span_y[bi], qd[bi], big_ok,
-        ntx, nty, SPAN_H, SPAN_W, wrap_x, u[bi], v[bi], rx[bi], ry[bi],
-        float(w),
-    ).reshape(-1)
-    gidx_big = jnp.broadcast_to(
-        bi[:, None], (n_big, SPAN_H * SPAN_W)
-    ).reshape(-1)
-    dropped = (
-        jnp.maximum(jnp.sum(irr_mask) - jnp.sum(irr_ok), 0)
-        + jnp.maximum(jnp.sum(big_mask) - jnp.sum(big_ok), 0)
-    )
+    # ONE lane gather of the emission attributes for all tiers together.
+    # Every row is exactly representable in f32 (ints < 2^24), so a single
+    # [9, N] matrix carries them; the gather runs on lanes like the pack's.
+    em = jnp.stack(
+        [
+            tx0.astype(jnp.float32), ty0.astype(jnp.float32),
+            span_x.astype(jnp.float32), span_y.astype(jnp.float32),
+            qd.astype(jnp.float32), u, v, rx, ry,
+        ],
+        axis=0,
+    )  # [9, N]
 
-    keys = jnp.concatenate([keys_fast, keys_irr, keys_big])
-    gidx = jnp.concatenate([gidx_fast, gidx_irr, gidx_big])
+    dropped = jnp.int32(0)
+    tier_idx = []
+    off = 0
+    for i, ((sh_t, sw_t, _, _), cap_t) in enumerate(zip(COMPACT_TIERS, tier_caps)):
+        wi = jax.lax.slice(win, (off,), (off + cap_t,))
+        off += cap_t
+        cnt = tier_counts[i]
+        ok = jnp.arange(cap_t, dtype=jnp.int32) < cnt
+        idx = jnp.where(ok, wi - jnp.int32(i) * n, -1)
+        tier_idx.append(idx)
+        dropped = dropped + jnp.maximum(cnt - cap_t, 0)
+
+        ii = jnp.clip(idx, 0, n - 1)
+        ga = jnp.take(em, ii, axis=1)  # [9, cap_t] lane gather
+        keys_parts.append(
+            _tile_rect_keys(
+                ga[0].astype(jnp.int32), ga[1].astype(jnp.int32),
+                ga[2].astype(jnp.int32), ga[3].astype(jnp.int32),
+                ga[4].astype(jnp.int32), ok,
+                ntx, nty, sh_t, sw_t, wrap_x, ga[5], ga[6], ga[7], ga[8],
+                float(w),
+            ).reshape(-1)
+        )
+        gidx_parts.append(
+            jnp.broadcast_to(ii[None, :], (sh_t * sw_t, cap_t)).reshape(-1)
+        )
+
+    keys = jnp.concatenate(keys_parts)
+    gidx = jnp.concatenate(gidx_parts)
     # pad K to a block multiple for the kernel's block-granular DMA
     k = keys.shape[0]
     k_pad = -(-k // BLOCK) * BLOCK
@@ -279,20 +338,15 @@ def assign_tiles(
         gidx_sorted = gidx_sorted[:cap]
         if slot_sorted is not None:
             slot_sorted = slot_sorted[:cap]
-    tile_ids = jax.lax.shift_right_logical(keys_sorted, _DEPTH_BITS)
-
-    bounds = jnp.arange(t_total + 1, dtype=jnp.int32) << _DEPTH_BITS
-    edges = jnp.searchsorted(keys_sorted, bounds)  # T+1 queries: cheap
-    edges = jnp.minimum(edges, keys_sorted.shape[0])
+    tile_starts, tile_counts, tile_ids = _tile_segments(keys_sorted, t_total)
     return TileAssignment(
         gaussian_idx=gidx_sorted,
-        tile_ids=tile_ids.astype(jnp.int32),
-        tile_starts=edges[:-1].astype(jnp.int32),
-        tile_counts=(edges[1:] - edges[:-1]).astype(jnp.int32),
+        tile_ids=tile_ids,
+        tile_starts=tile_starts,
+        tile_counts=tile_counts,
         dropped=dropped.astype(jnp.int32),
         num_tiles_x=ntx,
         num_tiles_y=nty,
         slot_ids=slot_sorted,
-        irr_idx=irr_idx.astype(jnp.int32),
-        big_idx=big_idx.astype(jnp.int32),
+        tier_idx=tuple(tier_idx),
     )
