@@ -803,6 +803,10 @@ def _render_core_fwd(
     k = gidx.shape[0]
     cols = jnp.take(attrs, gidx, axis=1)  # [ROWS, K] — the one (lane) gather
     cols = jnp.where((tile_ids < t)[None, :], cols, 0.0)
+    # Keep the gather and the block transpose as SEPARATE XLA ops: fused
+    # together, the transpose de-vectorizes the gather (measured 13 ms for the
+    # fused op vs 0.2 ms + 0.2 ms split at the north-star load).
+    cols = jax.lax.optimization_barrier(cols)
     inst = cols.reshape(ROWS, k // CHUNK, CHUNK).transpose(1, 0, 2)
     acc = _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x)
     planes = acc.reshape(t, 8, N_PIX)
@@ -835,7 +839,11 @@ def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
         inb = jnp.clip(inblk[lid], 0, nblk_in - 1)
         gsel = jnp.where(ok[:, None], gblk[inb], n)  # [L, CHUNK]
         # pad blocks carry garbage lanes but all their indices are n -> dropped
+        # (barrier: a transpose fused INTO the scatter de-vectorizes it — same
+        # pathology as the forward pack gather, measured 27 ms fused vs <1 ms
+        # split).
         dcols = dblk.transpose(1, 0, 2).reshape(ROWS, l_cap * CHUNK)
+        dcols = jax.lax.optimization_barrier(dcols)
         return (
             jnp.zeros((ROWS, n), jnp.float32)
             .at[:, gsel.reshape(-1)]
@@ -849,6 +857,7 @@ def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
             live[:, None], gblk[jnp.clip(inblk, 0, nblk_in - 1)], n
         )
         dcols = dout.transpose(1, 0, 2).reshape(ROWS, nblk_out * CHUNK)
+        dcols = jax.lax.optimization_barrier(dcols)
         return (
             jnp.zeros((ROWS, n), jnp.float32)
             .at[:, gsel.reshape(-1)]
