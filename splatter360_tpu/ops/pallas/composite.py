@@ -301,6 +301,313 @@ def _forward_kernel(
     acc_ref[:] = planes.T  # one [N_PIX, 8] -> [8, N_PIX] transpose per tile
 
 
+def _forward_kernel_fused(
+    starts_ref, counts_ref,  # scalar prefetch [T]
+    gidx_ref,                # HBM [NBLK, 1, CHUNK] int32 sorted gaussian ids
+    attrs_ref,               # VMEM [NSUB, 128] packed per-gaussian attrs
+    acc_ref,                 # out0 [8, N_PIX] per tile
+    inst_ref,                # out1 HBM [NBLK, ROWS, CHUNK] built-block residual
+    coll, stage, racc, tacc, gs_smem, gv, sems_gs, sems_gv, sems_out,
+    *, ntx, w_img, wrap_x,
+):
+    """Forward compositing with the instance pack FUSED into the kernel.
+
+    The XLA pack gathered attrs for every emitted instance (K ~ 2N lanes,
+    ~15 ms at the north-star load) even though the early-exiting forward
+    reads only ~14% of the blocks. Here the full attribute table lives in
+    VMEM as [NSUB, 128] (8 gaussians x 16 attr lanes per sublane row,
+    ~67 MB at N=1.05M — v5e VMEM is 128 MB) and each PROCESSED block is
+    built in-kernel: a per-lane dynamic-sublane read collects the 8-packed
+    rows, then a static-slice select keyed on g%8 unpacks them to
+    [ROWS, CHUNK]. Built blocks are written back to HBM as the residual the
+    backward re-reads. Replaces the CUDA rasterizer's global duplicate-
+    expanded instance buffer (SURVEY.md §2.9)."""
+    tid = pl.program_id(0)
+    x0, y0 = _tile_origin(tid, ntx)
+    px, py = _pixel_cols(x0, y0)
+
+    start = starts_ref[tid]
+    count = counts_ref[tid]
+    blk0 = start // CHUNK
+    n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
+
+    racc[:] = jnp.zeros((N_PIX, 8), jnp.float32)
+    tacc[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+    mup = _strict_upper(jnp.float32)
+
+    def gs_copy(slot, j):
+        return pltpu.make_async_copy(
+            gidx_ref.at[blk0 + j], gs_smem.at[slot], sems_gs.at[slot]
+        )
+
+    def gv_copy(slot, j):
+        return pltpu.make_async_copy(
+            gidx_ref.at[blk0 + j], gv.at[slot], sems_gv.at[slot]
+        )
+
+    def out_copy(slot, j):
+        return pltpu.make_async_copy(
+            stage.at[slot], inst_ref.at[blk0 + j], sems_out.at[slot]
+        )
+
+    @pl.when(n_blocks > 0)
+    def _():
+        gs_copy(0, 0).start()
+        gv_copy(0, 0).start()
+
+    def live_pred(j):
+        return (jnp.max(tacc[:]) >= _LOG_T_EPS) if _EARLY_EXIT else (j >= 0)
+
+    def body(j):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            gs_copy(1 - slot, j + 1).start()
+            gv_copy(1 - slot, j + 1).start()
+
+        gs_copy(slot, j).wait()
+        gv_copy(slot, j).wait()
+
+        # Build the block from the packed VMEM table: collect each lane's
+        # 8-gaussian row, then unpack by g%8 with static slices.
+        def collect(l, _):
+            gl = gs_smem[slot, 0, l] >> 3
+            coll[pl.ds(l, 1), :] = attrs_ref[pl.ds(gl, 1), :]
+            return 0
+
+        jax.lax.fori_loop(0, CHUNK, collect, 0, unroll=CHUNK)
+        gmod = (gv[slot] & 7).T  # [CHUNK, 1]
+        data_t = jnp.zeros((CHUNK, ROWS), jnp.float32)
+        for b in range(8):
+            data_t = data_t + jnp.where(
+                gmod == b, coll[:, 16 * b : 16 * b + 16], 0.0
+            )
+        data_blk = data_t.T  # [ROWS, CHUNK]
+
+        # residual write-back (the backward re-reads built blocks)
+        @pl.when(j >= 2)
+        def _():
+            out_copy(slot, j - 2).wait()
+
+        stage[slot] = data_blk
+        out_copy(slot, j).start()
+
+        data = jnp.where(
+            _segment_mask(blk0, j, start, count), data_blk, 0.0
+        )
+        alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
+        lg = jnp.log1p(-alpha)
+        e = _contract_binary(lg, mup, ((1,), (0,)))
+        t_i = jnp.exp(tacc[:] + e)
+        w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
+
+        cd = data[6:10, :]
+        racc[:, 0:4] = racc[:, 0:4] + _contract_split3(w, cd, ((1,), (1,)))
+        tacc[:] = tacc[:] + jnp.sum(lg, axis=1, keepdims=True)
+        return j + 1
+
+    n_processed = jax.lax.while_loop(
+        lambda j: (j < n_blocks) & live_pred(j), body, jnp.int32(0)
+    )
+    # Drain the dangling gidx prefetch and trailing residual write-backs.
+    @pl.when(n_processed < n_blocks)
+    def _():
+        gs_copy(jax.lax.rem(n_processed, 2), n_processed).wait()
+        gv_copy(jax.lax.rem(n_processed, 2), n_processed).wait()
+
+    @pl.when(n_processed >= 1)
+    def _():
+        out_copy(jax.lax.rem(n_processed - 1, 2), n_processed - 1).wait()
+
+    @pl.when(n_processed >= 2)
+    def _():
+        out_copy(jax.lax.rem(n_processed - 2, 2), n_processed - 2).wait()
+
+    planes = jnp.concatenate(
+        [racc[:, 0:4], jnp.exp(tacc[:]), tacc[:],
+         jnp.full((N_PIX, 1), n_processed.astype(jnp.float32)),
+         jnp.zeros((N_PIX, 1), jnp.float32)], axis=1
+    )
+    acc_ref[:] = planes.T
+
+
+def _backward_kernel_fused(
+    starts_ref, counts_ref, nproc_ref,
+    inst_ref,                # HBM [NBLK, ROWS, CHUNK] (forward residual)
+    gidx_ref,                # HBM [NBLK, 1, CHUNK] int32
+    gacc_ref,                # [8, N_PIX]: gr gg gb gdepth gT logT_final 0 0
+    accp_ref,                # out VMEM [NSUB, 128] packed per-gaussian grads
+    bufs, suffix_scratch, apsi_scratch, stage,
+    gs_smem, gv, sems_in, sems_gs, sems_gv,
+    *, ntx, w_img, wrap_x,
+):
+    """Backward with the per-gaussian gradient reduction FUSED into the kernel.
+
+    The separate XLA reduction (out-block map + nonzero + block gather +
+    transpose + 56 ns/index scatter-add, ~34 ms at the north-star load) is
+    replaced by a VMEM-resident packed accumulator [NSUB, 128] (same layout
+    as the forward attrs table): after the per-block gradient math, a
+    per-lane read-modify-write adds each instance's 16 gradient lanes at
+    sublane g//8, lane offset 16*(g%8). The grid is sequential on the core,
+    so RMW is race-free and deterministic; foreign/segment-masked lanes add
+    exact zeros. Mirrors the role of the CUDA backward's atomicAdd
+    accumulation (SURVEY.md §2.9) without atomics."""
+    tid = pl.program_id(0)
+    x0, y0 = _tile_origin(tid, ntx)
+    px, py = _pixel_cols(x0, y0)
+
+    @pl.when(tid == 0)
+    def _():
+        accp_ref[:] = jnp.zeros_like(accp_ref)
+
+    start = starts_ref[tid]
+    count = counts_ref[tid]
+    nproc = nproc_ref[tid]
+    blk0 = start // CHUNK
+    n_blocks = (start + count + CHUNK - 1) // CHUNK - blk0
+    lo = n_blocks - nproc
+
+    mup = _strict_upper(jnp.float32)
+    mlow = _strict_lower(jnp.float32)
+
+    lt_final = gacc_ref[5:6, :].T
+    g_rgbd = gacc_ref[0:4, :]
+    gt_term = (gacc_ref[4:5, :] * jnp.exp(gacc_ref[5:6, :])).T
+
+    suffix_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+    apsi_scratch[:] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+    def in_copy(slot, j):
+        return pltpu.make_async_copy(
+            inst_ref.at[blk0 + j], bufs.at[slot], sems_in.at[slot]
+        )
+
+    def gs_copy(slot, j):
+        return pltpu.make_async_copy(
+            gidx_ref.at[blk0 + j], gs_smem.at[slot], sems_gs.at[slot]
+        )
+
+    def gv_copy(slot, j):
+        return pltpu.make_async_copy(
+            gidx_ref.at[blk0 + j], gv.at[slot], sems_gv.at[slot]
+        )
+
+    @pl.when(nproc > 0)
+    def _():
+        slot0 = jax.lax.rem(lo, 2)
+        in_copy(slot0, nproc - 1).start()
+        gs_copy(slot0, nproc - 1).start()
+        gv_copy(slot0, nproc - 1).start()
+
+    def body(rj, carry):
+        j = n_blocks - 1 - rj
+        slot = jax.lax.rem(rj, 2)
+
+        @pl.when(rj + 1 < n_blocks)
+        def _():
+            in_copy(1 - slot, j - 1).start()
+            gs_copy(1 - slot, j - 1).start()
+            gv_copy(1 - slot, j - 1).start()
+
+        in_copy(slot, j).wait()
+
+        data = jnp.where(
+            _segment_mask(blk0, j, start, count), bufs[slot], 0.0
+        )
+        alpha, dx, dy, a, b, c, o, u_eff, v_eff = _chunk_alpha(
+            data, px, py, w_img, wrap_x
+        )
+        lg = jnp.log1p(-alpha)
+        sum_lg = jnp.sum(lg, axis=1, keepdims=True)
+        log_t_suffix = suffix_scratch[:]
+        log_t_end = lt_final - log_t_suffix
+        log_t_start = log_t_end - sum_lg
+        suffix_scratch[:] = log_t_suffix + sum_lg
+        del log_t_end
+
+        @pl.when(jnp.max(log_t_start) >= _LOG_T_EPS)
+        def _():
+            e = _contract_binary(lg, mup, ((1,), (0,)))
+            t_i = jnp.exp(log_t_start + e)
+            contrib = t_i * (1.0 - alpha) >= _T_EPS
+            w = jnp.where(contrib, alpha * t_i, 0.0)
+
+            cd = data[6:10, :]
+            gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))
+            psi = w * gamma
+            suffix = _contract_binary(psi, mlow, ((1,), (0,)))
+
+            a_psi = apsi_scratch[:]
+            g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
+            g_alpha = jnp.where(contrib, g_alpha, 0.0)
+            g_p = g_alpha * alpha
+
+            g_cd = _contract_split3(g_rgbd, w, ((1,), (0,)))
+
+            mom = _contract_split3(_moment_matrix(), g_p, ((1,), (0,)))
+            m0, mx, my, mxx, myy, mxy = (mom[i : i + 1, :] for i in range(6))
+            ul = u_eff - x0
+            vl = v_eff - y0
+            s_dx = mx - ul * m0
+            s_dy = my - vl * m0
+            s_dxdx = mxx - 2.0 * ul * mx + ul * ul * m0
+            s_dydy = myy - 2.0 * vl * my + vl * vl * m0
+            s_dxdy = mxy - ul * my - vl * mx + ul * vl * m0
+
+            g_o = m0 / jnp.maximum(o, 1e-12)
+            g_a = -0.5 * s_dxdx
+            g_b = -s_dxdy
+            g_c = -0.5 * s_dydy
+            g_u = a * s_dx + b * s_dy
+            g_v = c * s_dy + b * s_dx
+
+            grad = jnp.concatenate(
+                [
+                    g_u, g_v, g_a, g_b, g_c, g_o, g_cd,
+                    jnp.zeros((ROWS - 10, CHUNK), jnp.float32),
+                ],
+                axis=0,
+            )
+            grad = jnp.where(
+                _segment_mask(blk0, j, start, count), grad, 0.0
+            )
+            # Spread each lane's 16 gradient rows to its packed lane offset
+            # (16 * (g%8)), then RMW-accumulate at sublane g//8.
+            gs_copy(slot, j).wait()
+            gv_copy(slot, j).wait()
+            grad_t = grad.T  # [CHUNK, ROWS]
+            gmod = (gv[slot] & 7).T  # [CHUNK, 1]
+            parts = [
+                jnp.where(gmod == bb, grad_t, 0.0) for bb in range(8)
+            ]
+            stage[:] = jnp.concatenate(parts, axis=1)  # [CHUNK, 128]
+
+            def rmw(l, _):
+                gl = gs_smem[slot, 0, l] >> 3
+                accp_ref[pl.ds(gl, 1), :] = (
+                    accp_ref[pl.ds(gl, 1), :] + stage[pl.ds(l, 1), :]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK, rmw, 0, unroll=CHUNK)
+            apsi_scratch[:] = a_psi + jnp.sum(psi, axis=1, keepdims=True)
+
+        # If the gated region was skipped, its gidx DMAs are still in flight:
+        # wait unconditionally (wait after the pl.when is a no-op when already
+        # waited? no — semaphores would double-decrement). Instead wait here
+        # only when the region was skipped.
+        @pl.when(jnp.max(log_t_start) < _LOG_T_EPS)
+        def _():
+            gs_copy(slot, j).wait()
+            gv_copy(slot, j).wait()
+
+        return carry
+
+    jax.lax.fori_loop(lo, n_blocks, body, jnp.int32(0))
+
+
 def _backward_kernel(
     starts_ref, counts_ref, obase_ref, nproc_ref,
     inst_ref,                # HBM [NBLK, ROWS, CHUNK]
@@ -871,6 +1178,157 @@ def _render_core_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
 
 
+def _nsub(n: int) -> int:
+    """Sublane rows of the packed [NSUB, 128] attr/grad table (8-aligned)."""
+    return -(-(-(-n // 8)) // 8) * 8
+
+
+def _build_attrs_packed(mean2d, conic, colors, opacities, depths, radii):
+    """Per-gaussian attrs as [NSUB, 128]: sublane g//8, lanes 16*(g%8)+row.
+
+    The packed layout is what lets the fused kernels index the table with a
+    single dynamic-SUBLANE access per instance (dynamic lane indexing is the
+    slow direction on TPU); 8 gaussians share a sublane row so the f32
+    (8, 128) VMEM tiling wastes nothing. Built with reshapes only — its
+    autodiff transpose is the matching unpack, so the fused backward's
+    accumulator IS this tensor's cotangent."""
+    n = mean2d.shape[0]
+    n_pad = _nsub(n) * 8
+    pad = n_pad - n
+
+    def p(x):
+        return jnp.pad(x, (0, pad))
+
+    cols = [
+        p(mean2d[:, 0]), p(mean2d[:, 1]),
+        p(conic[:, 0]), p(conic[:, 1]), p(conic[:, 2]),
+        p(opacities),
+        p(colors[:, 0]), p(colors[:, 1]), p(colors[:, 2]),
+        p(depths),
+        p(radii[:, 0]), p(radii[:, 1]),
+    ]
+    cols += [jnp.zeros((n_pad,), mean2d.dtype)] * (16 - len(cols))
+    return jnp.stack(cols, axis=-1).reshape(_nsub(n), 128)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 5, 6, 7, 8))
+def _render_core_fused(
+    n, attrs_packed, gidx3, starts, counts, nty, ntx, w_img, wrap_x
+):
+    """Fully fused render: in-kernel pack (fwd) + in-kernel grad reduce (bwd).
+
+    Eliminates the XLA pack gather (~15 ms) and the gradient scatter pipeline
+    (~34 ms) of the unfused path at the north-star load; see
+    _forward_kernel_fused/_backward_kernel_fused."""
+    acc, _ = _render_fused_fwd(
+        n, attrs_packed, gidx3, starts, counts, nty, ntx, w_img, wrap_x
+    )
+    return acc
+
+
+def _render_fused_fwd(
+    n, attrs_packed, gidx3, starts, counts, nty, ntx, w_img, wrap_x
+):
+    t = nty * ntx
+    nblk = gidx3.shape[0]
+    nsub = attrs_packed.shape[0]
+    kernel = functools.partial(
+        _forward_kernel_fused, ntx=ntx, w_img=float(w_img), wrap_x=wrap_x
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (nsub, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (8, N_PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, 128), jnp.float32),      # coll
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),  # stage (residual out)
+            pltpu.VMEM((N_PIX, 8), jnp.float32),        # racc
+            pltpu.VMEM((N_PIX, 1), jnp.float32),        # tacc
+            pltpu.SMEM((2, 1, CHUNK), jnp.int32),       # gidx scalars
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),       # gidx vector
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    acc, inst = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((t * 8, N_PIX), jnp.float32),
+            jax.ShapeDtypeStruct((nblk, ROWS, CHUNK), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+    )(starts, counts, gidx3, attrs_packed)
+    planes = acc.reshape(t, 8, N_PIX)
+    lt_final = planes[:, 5, :]
+    nproc = planes[:, 6, 0].astype(jnp.int32)
+    return acc, (inst, gidx3, starts, counts, lt_final, nproc, _nsub(n))
+
+
+def _render_fused_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
+    inst, gidx3, starts, counts, lt_final, nproc, nsub = res
+    t = nty * ntx
+    kernel = functools.partial(
+        _backward_kernel_fused, ntx=ntx, w_img=float(w_img), wrap_x=wrap_x
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (8, N_PIX), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (nsub, 128), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS, CHUNK), jnp.float32),  # inst bufs
+            pltpu.VMEM((N_PIX, 1), jnp.float32),        # log-T suffix
+            pltpu.VMEM((N_PIX, 1), jnp.float32),        # psi suffix
+            pltpu.VMEM((CHUNK, 128), jnp.float32),      # spread stage
+            pltpu.SMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.VMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(lt_final)
+    combined = combined.reshape(t * 8, N_PIX)
+    g_packed = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nsub, 128), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+    )(starts, counts, nproc, inst, gidx3, combined)
+    return g_packed, None, None, None
+
+
+_render_core_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
+
+_FUSED_PACK = os.environ.get("SPLAT360_FUSED_PACK", "1") == "1"
+
+
 def composite_tiles_pallas(
     assignment: TileAssignment,
     mean2d, conic, colors, opacities, depths, radii,
@@ -880,12 +1338,22 @@ def composite_tiles_pallas(
     h, w = image_shape
     ntx, nty = assignment.num_tiles_x, assignment.num_tiles_y
     n = mean2d.shape[0]
-    attrs = _build_attrs_t(mean2d, conic, colors, opacities, depths, radii)
-    acc = _render_core(
-        n, attrs, assignment.gaussian_idx, assignment.tile_starts,
-        assignment.tile_counts, assignment.tile_ids, nty, ntx, float(w),
-        bool(wrap_x),
-    )  # [T*8, N_PIX]
+    if _FUSED_PACK:
+        attrs_p = _build_attrs_packed(
+            mean2d, conic, colors, opacities, depths, radii
+        )
+        gidx3 = assignment.gaussian_idx.reshape(-1, 1, CHUNK)
+        acc = _render_core_fused(
+            n, attrs_p, gidx3, assignment.tile_starts,
+            assignment.tile_counts, nty, ntx, float(w), bool(wrap_x),
+        )  # [T*8, N_PIX]
+    else:
+        attrs = _build_attrs_t(mean2d, conic, colors, opacities, depths, radii)
+        acc = _render_core(
+            n, attrs, assignment.gaussian_idx, assignment.tile_starts,
+            assignment.tile_counts, assignment.tile_ids, nty, ntx, float(w),
+            bool(wrap_x),
+        )  # [T*8, N_PIX]
     acc = acc.reshape(nty, ntx, 8, TILE_H, TILE_W)
     planes = acc.transpose(2, 0, 3, 1, 4).reshape(8, nty * TILE_H, ntx * TILE_W)
     rgb = planes[0:3, :h, :w].transpose(1, 2, 0)

@@ -137,7 +137,11 @@ def test_pallas_backward_early_exit_saturated():
 
 def test_pallas_backward_live_cap_overflow_fallback(scene, monkeypatch):
     """When live blocks overflow the compaction cap, the backward must take
-    the exact all-blocks lax.cond branch and produce identical gradients."""
+    the exact all-blocks lax.cond branch and produce identical gradients.
+
+    Forces the legacy (unfused) render core — the fused path has no live-block
+    compaction cap; this guards the XLA-reduce fallback kept for A/B benches."""
+    monkeypatch.setattr(pc, "_FUSED_PACK", False)
     monkeypatch.setattr(pc, "_LIVE_FRAC", 10**9)  # l_cap == 1 -> always overflow
     target = jnp.zeros((H, W, 3))
 
