@@ -56,7 +56,14 @@ def main(argv=None):
         state, ok = ckpt.restore_weights_only(ckpt_dir, state)
         if not ok:
             print("warning: no checkpoint restored; evaluating random weights")
-        Evaluator(cfg, state).run()
+        # LPIPS in the eval protocol (reference metrics.py:25-38) — seeded
+        # deterministic features unless train.loss.lpips_weights points at a
+        # real checkpoint (make_lpips_fn prints the deviation loudly).
+        from .train.lpips_jax import make_lpips_fn
+
+        Evaluator(
+            cfg, state, lpips_fn=make_lpips_fn(cfg.train.loss.lpips_weights)
+        ).run()
     elif cfg.mode == "generate_index":
         # Evaluation-index generation (SURVEY.md §2.8,
         # src/evaluation/evaluation_index_generator.py + src/scripts/generate_*.py)

@@ -57,11 +57,13 @@ MED_SPAN_W = 2
 MED_SPAN_H = min(4, SPAN_H)
 # Compacted emission tiers, emitted after the [N, 2] fast tier in this order:
 # (span_h, span_w, cap_divisor, cap_floor). Caps are n // divisor (>= floor);
-# measured rates at the north-star load leave 2-10x headroom per tier, and any
-# overflow is counted in `dropped` (surfaced through render outputs).
+# any overflow is counted in `dropped` (surfaced through render outputs).
+# Measured at the north-star load (1.05M gaussians, 512x1024 erp): corner
+# 46.3k, tall 43.4k, big 1.5k -> n/16 caps give ~1.5x headroom (the original
+# n/32 tall cap OVERFLOWED there, silently dropping ~10.7k splats).
 COMPACT_TIERS = (
-    (2, 2, 8, 2048),                  # corner: 2x2 straddlers
-    (MED_SPAN_H, MED_SPAN_W, 32, 1024),  # tall: span_y in 3..MED_SPAN_H, narrow
+    (2, 2, 16, 2048),                 # corner: 2x2 straddlers
+    (MED_SPAN_H, MED_SPAN_W, 16, 1024),  # tall: span_y in 3..MED_SPAN_H, narrow
     (SPAN_H, SPAN_W, 256, 1024),      # big: the rare pole-stretched splats
 )
 _DEPTH_BITS = 20

@@ -22,6 +22,9 @@ class LossConfig:
     mse_weight: float = 1.0
     lpips_weight: float = 0.05
     lpips_apply_after_step: int = 0
+    # Path to a torch LPIPS(net='vgg') / torchvision-vgg16 checkpoint. None ->
+    # deterministic seeded features (loudly flagged; see lpips_jax.make_lpips_fn).
+    lpips_weights: str | None = None
     depth_weight: float = 0.1
     depth_smoothness_weight: float = 0.0
 

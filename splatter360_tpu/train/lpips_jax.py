@@ -76,6 +76,36 @@ class LPIPS(nn.Module):
         return total
 
 
+def make_lpips_fn(weights_path: str | None = None):
+    """Jitted LPIPS distance fn(pred [B,H,W,3] in [0,1], gt) -> [B].
+
+    Weights come from a torch LPIPS(net='vgg') / torchvision-vgg16 checkpoint
+    when `weights_path` is given (load_lpips_torch_weights). Otherwise the
+    features are DETERMINISTIC seeded-random (PRNGKey(0)) — a loud deviation
+    from the reference protocol (src/evaluation/metrics.py:25-38 uses the
+    released VGG-LPIPS weights, unavailable here: zero egress, no local
+    checkpoint): the numbers are stable across runs and usable for relative
+    comparison / regression tracking, but NOT comparable to published LPIPS.
+    Pass the real checkpoint via `train.loss.lpips_weights` for parity."""
+    import jax
+
+    lpips = LPIPS()
+    probe = jnp.zeros((1, 64, 64, 3))
+    params = lpips.init(jax.random.PRNGKey(0), probe, probe)
+    if weights_path:
+        params = load_lpips_torch_weights(params, weights_path)
+    else:
+        import sys
+
+        print(
+            "warning: LPIPS using seeded-random VGG features (no weights "
+            "checkpoint) — values are run-stable but not comparable to "
+            "published LPIPS; set train.loss.lpips_weights for parity.",
+            file=sys.stderr,
+        )
+    return jax.jit(lambda a, b: lpips.apply(params, a, b))
+
+
 def load_lpips_torch_weights(params: Dict[str, Any], path: str) -> Dict[str, Any]:
     """Convert a torch LPIPS(net='vgg') state_dict file into our param pytree."""
     import numpy as np

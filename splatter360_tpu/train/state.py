@@ -104,6 +104,12 @@ def create_train_state(
     if train_cfg.loss.lpips_weight > 0:
         probe = jnp.zeros((1, 64, 64, 3))
         lpips_params = lpips.init(jax.random.PRNGKey(0), probe, probe)
+        if train_cfg.loss.lpips_weights:
+            from .lpips_jax import load_lpips_torch_weights
+
+            lpips_params = load_lpips_torch_weights(
+                lpips_params, train_cfg.loss.lpips_weights
+            )
     tx = make_optimizer(train_cfg.optimizer)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -215,6 +215,60 @@ def test_lpips_shapes_and_identity():
     assert float(lpips.apply(params, x, y)[0]) > 0.0
 
 
+def test_lpips_torch_conversion_real_layout(tmp_path):
+    """Convert from the EXACT key layout of richzhang/PerceptualSimilarity's
+    LPIPS(net='vgg') state_dict (net.slice{1..5}.{torch_idx}.weight/bias +
+    lins.{i}.model.1.weight) — the file `lpips` saves and the reference loads
+    (src/loss/loss_lpips.py:28-38)."""
+    import numpy as np
+    import torch
+
+    from splatter360_tpu.train.lpips_jax import (
+        LPIPS, load_lpips_torch_weights, make_lpips_fn,
+    )
+
+    torch.manual_seed(0)
+    cfg = [(3, 64), (64, 64), (64, 128), (128, 128), (128, 256), (256, 256),
+           (256, 256), (256, 512), (512, 512), (512, 512), (512, 512),
+           (512, 512), (512, 512)]
+    conv_idx = [(0, 2), (5, 7), (10, 12, 14), (17, 19, 21), (24, 26, 28)]
+    lin_ch = [64, 128, 256, 512, 512]
+    sd = {}
+    ci = 0
+    for si, idxs in enumerate(conv_idx):
+        for ti in idxs:
+            cin, cout = cfg[ci]
+            sd[f"net.slice{si + 1}.{ti}.weight"] = torch.randn(cout, cin, 3, 3)
+            sd[f"net.slice{si + 1}.{ti}.bias"] = torch.randn(cout)
+            ci += 1
+    for i, ch in enumerate(lin_ch):
+        sd[f"lins.{i}.model.1.weight"] = torch.rand(1, ch, 1, 1)
+    path = str(tmp_path / "lpips_vgg.pth")
+    torch.save(sd, path)
+
+    lpips = LPIPS()
+    x = jnp.linspace(0, 1, 32 * 32 * 3).reshape(1, 32, 32, 3)
+    params = lpips.init(jax.random.PRNGKey(0), x, x)
+    converted = load_lpips_torch_weights(params, path)
+    # every converted tensor matches the torch source exactly
+    k = np.asarray(converted["params"]["vgg"]["conv0_0"]["kernel"])
+    np.testing.assert_allclose(
+        k, sd["net.slice1.0.weight"].numpy().transpose(2, 3, 1, 0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(converted["params"]["lin2"]),
+        sd["lins.2.model.1.weight"].numpy()[0, :, 0, 0],
+    )
+    # converted weights change the metric vs the seeded init
+    y = jnp.flip(x, axis=2)
+    d_seeded = float(lpips.apply(params, x, y)[0])
+    d_conv = float(lpips.apply(converted, x, y)[0])
+    assert d_conv != pytest.approx(d_seeded)
+    # the factory returns a deterministic jitted fn (same numbers every call)
+    fn = make_lpips_fn(path)
+    assert float(fn(x, y)[0]) == pytest.approx(d_conv, rel=1e-5)
+
+
 def test_pose_video_interpolation_chain():
     from splatter360_tpu.geometry import interpolate_pose_6d
 
