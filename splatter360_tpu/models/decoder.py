@@ -27,6 +27,9 @@ class DecoderOutput(NamedTuple):
     color: jnp.ndarray           # [B, V, H, W, 3] or [B, V, 6, Hc, Wc, 3]
     depth: Optional[jnp.ndarray] # matching spatial shape or None
     alpha: Optional[jnp.ndarray]
+    # [B, V] / [B, V, 6] int32 — splats lost to emission-cap overflow per
+    # rendered view/face (assign_tiles' `dropped`; nonzero = degraded image)
+    dropped: Optional[jnp.ndarray] = None
 
 
 def render_erp_views(
@@ -37,6 +40,7 @@ def render_erp_views(
     image_shape: tuple[int, int],
     background: Optional[jnp.ndarray] = None,
     render_depth: bool = False,
+    depth_mode: str = "depth",
     backend: str = "pallas",
     max_per_tile: int = 2048,
 ) -> DecoderOutput:
@@ -48,15 +52,16 @@ def render_erp_views(
         out = render_tiled(
             means, covs, sh, op, c2w, image_shape,
             camera_kind="erp", near=nr, far=fr, background=background,
-            render_depth=render_depth, backend=backend,
+            render_depth=render_depth, depth_mode=depth_mode, backend=backend,
             max_per_tile=max_per_tile,
         )
-        return out.color, (out.depth if render_depth else jnp.zeros((0,))), out.alpha
+        return (out.color, (out.depth if render_depth else jnp.zeros((0,))),
+                out.alpha, out.dropped)
 
     # vmap over views then batch (gaussians shared across views within a batch item)
     per_view = jax.vmap(one, in_axes=(None, None, None, None, 0, 0, 0))
     per_batch = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0, 0, 0))
-    color, depth, alpha = per_batch(
+    color, depth, alpha, dropped = per_batch(
         gaussians.means, gaussians.covariances, gaussians.harmonics,
         gaussians.opacities, extrinsics, near, far,
     )
@@ -64,6 +69,7 @@ def render_erp_views(
         color=color,
         depth=depth if render_depth else None,
         alpha=alpha,
+        dropped=dropped,
     )
 
 
@@ -75,10 +81,22 @@ def render_cube_views(
     face_shape: tuple[int, int],
     background: Optional[jnp.ndarray] = None,
     render_depth: bool = False,
+    depth_mode: str = "depth",
     backend: str = "pallas",
     max_per_tile: int = 2048,
+    sequential: bool = False,
 ) -> DecoderOutput:
-    """Render the 6 cube faces (FRBLUD) of every target view."""
+    """Render the 6 cube faces (FRBLUD) of every target view.
+
+    sequential=True renders the v*6 faces of each batch item under lax.map
+    instead of vmap. vmap materializes every face's intermediate buffers AT
+    ONCE — at hm3d scale (1.05M gaussians, 12 faces) the per-face instance
+    packs / attr-cotangent tables alone are >10 GB of HBM temp and the train
+    step cannot fit on a 16 GB chip; lax.map reuses one face's buffers across
+    the loop (only the O(cap) pack residuals stack). Each face render is a
+    ~0.3M-instance workload — big enough to keep the chip busy, so the
+    serialization costs little (the reference also loops faces,
+    decoder_splatting_cuda.py:47)."""
     b, v = extrinsics_sphere.shape[0], extrinsics_sphere.shape[1]
     faces_c2w = cube_face_extrinsics(extrinsics_sphere)  # [B, V, 6, 4, 4]
     intr = cube_face_intrinsics(extrinsics_sphere.dtype)
@@ -96,16 +114,41 @@ def render_cube_views(
         out = render_tiled(
             means, covs, sh, op, c2w, face_shape,
             camera_kind="pinhole", intrinsics=intr, near=nr, far=fr,
-            background=background, render_depth=render_depth, backend=backend,
+            background=background, render_depth=render_depth,
+            depth_mode=depth_mode, backend=backend,
             max_per_tile=max_per_tile,
             instance_cap=max(n, 4096),
         )
-        return out.color, (out.depth if render_depth else jnp.zeros((0,))), out.alpha
+        return (out.color, (out.depth if render_depth else jnp.zeros((0,))),
+                out.alpha, out.dropped)
 
-    per_face = jax.vmap(one, in_axes=(None, None, None, None, 0, None, None))
-    per_view = jax.vmap(per_face, in_axes=(None, None, None, None, 0, 0, 0))
-    per_batch = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0, 0, 0))
-    color, depth, alpha = per_batch(
+    if sequential:
+        def per_item(means, covs, sh, op, c2ws, nr, fr):
+            vf = v * 6
+            c2ws_f = c2ws.reshape(vf, 4, 4)
+            nr_f = jnp.repeat(nr, 6)
+            fr_f = jnp.repeat(fr, 6)
+            color, depth, alpha, dropped = jax.lax.map(
+                lambda a: one(means, covs, sh, op, a[0], a[1], a[2]),
+                (c2ws_f, nr_f, fr_f),
+            )
+            return (
+                color.reshape(v, 6, *color.shape[1:]),
+                depth.reshape(v, 6, *depth.shape[1:]),
+                alpha.reshape(v, 6, *alpha.shape[1:]),
+                dropped.reshape(v, 6),
+            )
+
+        per_batch = jax.vmap(per_item, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    else:
+        per_face = jax.vmap(
+            one, in_axes=(None, None, None, None, 0, None, None)
+        )
+        per_view = jax.vmap(
+            per_face, in_axes=(None, None, None, None, 0, 0, 0)
+        )
+        per_batch = jax.vmap(per_view, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    color, depth, alpha, dropped = per_batch(
         gaussians.means, gaussians.covariances, gaussians.harmonics,
         gaussians.opacities, faces_c2w, near, far,
     )
@@ -113,6 +156,7 @@ def render_cube_views(
         color=color,
         depth=depth if render_depth else None,
         alpha=alpha,
+        dropped=dropped,
     )
 
 

@@ -26,6 +26,31 @@ from .tiling import assign_tiles
 from .composite_jax import composite_tiles_jax
 from .rasterizer_ref import RenderOutput
 
+DEPTH_MODES = ("depth", "log", "disparity", "relative_disparity")
+
+
+def transform_depth(depth, mode, near, far):
+    """Per-gaussian depth transform before compositing.
+
+    Mirrors the reference's depth rendering modes (decoder.py:11-17,
+    cuda_splatting.py:226-269: the transformed camera-space depth is rendered
+    AS the color, so the composite is the alpha-weighted transformed depth):
+      depth                raw camera distance
+      log                  log(depth)
+      disparity            1/depth
+      relative_disparity   (1/depth - 1/far) / (1/near - 1/far) in [0, 1]
+    """
+    if mode == "depth":
+        return depth
+    d = jnp.maximum(depth, 1e-8)
+    if mode == "log":
+        return jnp.log(d)
+    if mode == "disparity":
+        return 1.0 / d
+    if mode == "relative_disparity":
+        return (1.0 / d - 1.0 / far) / (1.0 / near - 1.0 / far)
+    raise ValueError(f"unknown depth_mode {mode!r}; expected {DEPTH_MODES}")
+
 
 def render_tiled(
     means: jnp.ndarray,
@@ -41,6 +66,7 @@ def render_tiled(
     background: Optional[jnp.ndarray] = None,
     sh_degree: Optional[int] = None,
     render_depth: bool = False,
+    depth_mode: str = "depth",
     backend: str = "pallas",
     max_per_tile: int = 512,
     instance_cap: Optional[int] = None,
@@ -75,6 +101,8 @@ def render_tiled(
         proj, image_shape, wrap_x,
         instance_cap=instance_cap, tier_caps=tier_caps,
     )
+    # depth channel uses the transformed value; the sort stays on raw depth
+    depth_vals = transform_depth(proj.depth, depth_mode, near, far)
 
     if backend == "jax":
         rgb, alpha, dacc = composite_tiles_jax(
@@ -83,7 +111,7 @@ def render_tiled(
             proj.conic,
             colors,
             opacities,
-            proj.depth,
+            depth_vals,
             proj.radius,
             image_shape,
             background,
@@ -99,7 +127,7 @@ def render_tiled(
             proj.conic,
             colors,
             opacities,
-            proj.depth,
+            depth_vals,
             proj.radius,
             image_shape,
             background,
@@ -109,5 +137,6 @@ def render_tiled(
         raise ValueError(backend)
 
     return RenderOutput(
-        color=rgb, depth=dacc if render_depth else None, alpha=alpha
+        color=rgb, depth=dacc if render_depth else None, alpha=alpha,
+        dropped=assignment.dropped,
     )

@@ -34,10 +34,14 @@ class Camera:
 
 
 class RenderOutput:
-    def __init__(self, color, depth=None, alpha=None):
+    def __init__(self, color, depth=None, alpha=None, dropped=None):
         self.color = color  # [H, W, 3]
         self.depth = depth  # [H, W] or None
         self.alpha = alpha  # [H, W] or None
+        # [] int32 — instances lost to emission-tier/instance caps (tiled path
+        # only; a nonzero value means the image is missing splats and the caps
+        # need raising). Surfaced into train metrics + eval warnings.
+        self.dropped = dropped
 
 
 def _pixel_grid(h, w, dtype):
@@ -55,6 +59,7 @@ def composite_dense(
     background: jnp.ndarray,
     wrap_x: bool,
     return_depth: bool = False,
+    depth_vals=None,
 ):
     """Depth-sort all Gaussians and alpha-composite them over every pixel.
 
@@ -67,7 +72,7 @@ def composite_dense(
     conic = proj.conic[order]
     col = colors[order]
     op = jnp.where(proj.valid, opacities, 0.0)[order]
-    dep = proj.depth[order]
+    dep = (proj.depth if depth_vals is None else depth_vals)[order]
     rad = proj.radius[order]
 
     xx, yy = _pixel_grid(h, w, mean2d.dtype)
@@ -128,6 +133,7 @@ def render_dense(
     background: Optional[jnp.ndarray] = None,
     sh_degree: Optional[int] = None,
     render_depth: bool = False,
+    depth_mode: str = "depth",
     ortho_extent: float = 2.0,
 ) -> RenderOutput:
     """Render one view from world-space Gaussians.
@@ -163,7 +169,10 @@ def render_dense(
     else:
         colors = sh_colors(harmonics, means, c2w[:3, 3], sh_degree)
 
+    from .rasterizer import transform_depth
+
     rgb, trans, depth = composite_dense(
-        proj, colors, opacities, image_shape, background, wrap_x, render_depth
+        proj, colors, opacities, image_shape, background, wrap_x, render_depth,
+        depth_vals=transform_depth(proj.depth, depth_mode, near, far),
     )
     return RenderOutput(color=rgb, depth=depth, alpha=1.0 - trans)

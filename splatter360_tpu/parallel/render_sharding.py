@@ -17,8 +17,9 @@ scales over the mesh — the role ring-attention/CP plays in LLM stacks:
      projection transpose yields 3D gradients for the device's own shard —
      the gradient psum is overlapped with compositing by XLA.
 
-Static shapes throughout; bands must align with tile rows
-(h % (TILE_H * n_dev) == 0 — 512×1024 with 16-row tiles supports 1..32 devices).
+Static shapes throughout; bands align with tile rows — heights that don't
+split evenly are padded to the next TILE_H * n_dev multiple and cropped.
+Enable via `train.shard_render` (validation/eval decode on a >1-device mesh).
 """
 
 from __future__ import annotations
@@ -64,13 +65,16 @@ def render_erp_sharded(
     backend: str = "pallas",
     max_per_tile: int = 512,
 ) -> RenderOutput:
-    """Render one ERP view with Gaussians + pixel bands sharded over `axis`."""
+    """Render one ERP view with Gaussians + pixel bands sharded over `axis`.
+
+    Image heights that don't split into tile-row-aligned bands are handled by
+    rendering a padded [h_pad, w] image (h_pad = next multiple of
+    TILE_H * n_dev) and cropping — the extra rows see no extra splats beyond
+    their tile rows, so cost grows only by the pad fraction."""
     h, w = image_shape
     n_dev = mesh.shape[axis]
-    band_h = h // n_dev
-    assert h % (TILE_H * n_dev) == 0, (
-        f"image height {h} must split into {n_dev} tile-row-aligned bands"
-    )
+    h_pad = -(-h // (TILE_H * n_dev)) * (TILE_H * n_dev)
+    band_h = h_pad // n_dev
     if background is None:
         background = jnp.zeros((3,), means.dtype)
     if sh_degree is None:
@@ -144,6 +148,54 @@ def render_erp_sharded(
         check_rep=False,
     )(means_p, covs_p, sh_p, op_p, c2w, background)
 
+    if h_pad != h:  # crop the tile-row padding back off
+        rgb, alpha, dacc = rgb[:h], alpha[:h], dacc[:h]
     return RenderOutput(
         color=rgb, depth=dacc if render_depth else None, alpha=alpha
+    )
+
+
+def render_erp_views_sharded(
+    gaussians,
+    extrinsics: jnp.ndarray,  # [B, V, 4, 4]
+    near,                     # [B, V] (per-view near used for culling)
+    far,                      # unused (kept for decoder interface parity)
+    image_shape: tuple[int, int],
+    mesh: Mesh,
+    axis: str = "data",
+    background: Optional[jnp.ndarray] = None,
+    render_depth: bool = False,
+    backend: str = "pallas",
+    max_per_tile: int = 512,
+):
+    """Decoder-interface wrapper over render_erp_sharded (render_erp_views
+    drop-in for eval/validation when the whole mesh can cooperate on each
+    view: batch and view axes are iterated, every chip renders a pixel band
+    of every view — the `train.shard_render` feature path)."""
+    from ..models.decoder import DecoderOutput
+
+    b, v = extrinsics.shape[0], extrinsics.shape[1]
+    colors, depths, alphas = [], [], []
+    for bi in range(b):
+        for vi in range(v):
+            out = render_erp_sharded(
+                gaussians.means[bi], gaussians.covariances[bi],
+                gaussians.harmonics[bi], gaussians.opacities[bi],
+                extrinsics[bi, vi], image_shape, mesh, axis=axis,
+                near=near[bi, vi], background=background,
+                render_depth=True, backend=backend,
+                max_per_tile=max_per_tile,
+            )
+            colors.append(out.color)
+            depths.append(out.depth)
+            alphas.append(out.alpha)
+
+    def stack(xs):
+        return jnp.stack(xs).reshape(b, v, *xs[0].shape)
+
+    return DecoderOutput(
+        color=stack(colors),
+        depth=stack(depths) if render_depth else None,
+        alpha=stack(alphas),
+        dropped=None,
     )

@@ -50,20 +50,46 @@ class Evaluator:
         h = cfg.dataset.image_shape[0]
         self.face = h // 2
 
-        @partial(jax.jit, static_argnames=("render_depth",))
-        def decode_erp(gaussians, extr, near, far, render_depth=False):
-            return render_erp_views(
-                gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
-                render_depth=render_depth, backend=cfg.train.render_backend,
-            )
+        if getattr(cfg.train, "shard_render", False) and jax.device_count() > 1:
+            # band-sharded ERP decode: all chips cooperate on every view
+            # (parallel/render_sharding.py; train.shard_render)
+            from ..parallel.mesh import create_mesh
+            from ..parallel.render_sharding import render_erp_views_sharded
+
+            mesh = create_mesh()
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+
+            @partial(jax.jit, static_argnums=(4,),
+                     in_shardings=(rep, rep, rep, rep))
+            def _decode_erp_sharded(gaussians, extr, near, far, render_depth):
+                return render_erp_views_sharded(
+                    gaussians, extr, near, far,
+                    tuple(cfg.dataset.image_shape), mesh,
+                    render_depth=render_depth,
+                    backend=cfg.train.render_backend,
+                )
+
+            def decode_erp(gaussians, extr, near, far, render_depth=False):
+                return _decode_erp_sharded(
+                    gaussians, extr, near, far, render_depth
+                )
+        else:
+            @partial(jax.jit, static_argnames=("render_depth",))
+            def decode_erp(gaussians, extr, near, far, render_depth=False):
+                return render_erp_views(
+                    gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
+                    render_depth=render_depth, backend=cfg.train.render_backend,
+                )
 
         self._decode_erp = decode_erp
 
-        @jax.jit
-        def decode_cubes(gaussians, extr, near, far):
+        @partial(jax.jit, static_argnames=("render_depth",))
+        def decode_cubes(gaussians, extr, near, far, render_depth=False):
             return render_cube_views(
                 gaussians, extr, near, far, (self.face, self.face),
-                backend=cfg.train.render_backend,
+                backend=cfg.train.render_backend, render_depth=render_depth,
             )
 
         self._decode_cubes = decode_cubes
@@ -98,13 +124,21 @@ class Evaluator:
                     tgt["far"], render_depth=cfg.test.eval_depth,
                 )
                 jax.block_until_ready(out.color)
+            if out.dropped is not None:
+                n_drop = int(np.sum(np.asarray(out.dropped)))
+                if n_drop > 0:
+                    print(
+                        f"warning: {scene}: {n_drop} splats dropped by "
+                        f"emission-cap overflow — rendered images are degraded"
+                    )
 
+            faces = None
             if cfg.test.eval_on_cubes:
                 # Reference protocol (model_wrapper_erp.py:471-541): metrics on
                 # the v*6 rendered cube faces, not the stitched/direct ERP.
                 faces = self._decode_cubes(
                     gaussians, tgt["extrinsics_sphere"], tgt["near"],
-                    tgt["far"],
+                    tgt["far"], render_depth=cfg.test.eval_depth,
                 )
                 f = self.face
                 pred = np.asarray(faces.color[0]).reshape(-1, f, f, 3)
@@ -125,7 +159,29 @@ class Evaluator:
                 entry["lpips"] = float(
                     np.mean(np.asarray(self.lpips_fn(pred, gt)))
                 )
-            if cfg.test.eval_depth and out.depth is not None:
+            if cfg.test.eval_depth and faces is not None:
+                # Reference cube-depth protocol (model_wrapper_erp.py:500-541):
+                # z-depth metrics over the rendered cube faces, TOP FACE (U,
+                # FRBLUD index 4) excluded, mask GT depth > 0.1 m. GT z-depths
+                # come from e2c of the ERP distance map with the distance->z
+                # cosine factor (Equirec2Cube.cosmaps parity).
+                f = self.face
+                pr_d = np.asarray(faces.depth[0]) / np.maximum(
+                    np.asarray(faces.alpha[0]), 1e-6
+                )  # [Vt, 6, f, f] pinhole camera-z
+                gt_d = np.asarray(
+                    jax.vmap(
+                        lambda d: erp_to_cube(d, f, depth_to_z=True)
+                    )(tgt["depth_sphere"][0][..., None])[..., 0]
+                )  # [Vt, 6, f, f]
+                keep = [0, 1, 2, 3, 5]  # FRBL D — top (U) excluded
+                pr_d, gt_d = pr_d[:, keep], gt_d[:, keep]
+                mask = gt_d > 0.1
+                dm = compute_depth_metrics(
+                    jnp.asarray(gt_d), jnp.asarray(pr_d), jnp.asarray(mask)
+                )
+                entry.update({f"depth_{k}": float(v) for k, v in dm.items()})
+            elif cfg.test.eval_depth and out.depth is not None:
                 gt_d = np.asarray(tgt["depth_sphere"][0])
                 pr_d = np.asarray(out.depth[0]) / np.maximum(
                     np.asarray(out.alpha[0]), 1e-6

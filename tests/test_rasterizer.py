@@ -218,3 +218,122 @@ def test_background_composited():
     np.testing.assert_allclose(
         np.asarray(out.color[0, 0]), np.asarray(bg), atol=1e-6
     )
+
+
+def test_depth_rendering_modes(scene):
+    """depth|log|disparity|relative_disparity depth channels (reference
+    decoder.py:11-17, cuda_splatting.py:226-269 semantics: the transformed
+    camera depth is composited as the rendered value).
+
+    Checks (a) an opaque gaussian at known distance yields the analytically
+    transformed value, (b) tiled matches dense in every mode.
+    """
+    from splatter360_tpu.ops.rasterizer import DEPTH_MODES, transform_depth
+
+    near, far = 0.1, 10.0
+    r = 2.0
+    g = {
+        "means": jnp.array([[0.0, 0.0, r]]),
+        "covariances": jnp.eye(3)[None] * 0.01,
+        "harmonics": jnp.zeros((1, 3, 1)).at[:, 0, 0].set(1.0),
+        "opacities": jnp.array([0.999]),
+    }
+    expected = {
+        "depth": r,
+        "log": np.log(r),
+        "disparity": 1.0 / r,
+        "relative_disparity": (1.0 / r - 1.0 / far) / (1.0 / near - 1.0 / far),
+    }
+    cy, cx = int(H / 2 - 0.5), int(W / 2 - 0.5)
+    for mode in DEPTH_MODES:
+        out = render_dense(
+            g["means"], g["covariances"], g["harmonics"], g["opacities"],
+            jnp.eye(4), (H, W), camera_kind="erp", near=near, far=far,
+            render_depth=True, depth_mode=mode,
+        )
+        d = float(out.depth[cy, cx]) / max(float(out.alpha[cy, cx]), 1e-6)
+        np.testing.assert_allclose(d, expected[mode], rtol=1e-3)
+
+    c2w = jnp.eye(4).at[:3, 3].set(jnp.array([0.2, -0.1, 0.3]))
+    for mode in ("log", "relative_disparity"):
+        dense = render_dense(
+            scene["means"], scene["covariances"], scene["harmonics"],
+            scene["opacities"], c2w, (H, W), camera_kind="erp",
+            near=near, far=far, render_depth=True, depth_mode=mode,
+        )
+        tiled = render_tiled(
+            scene["means"], scene["covariances"], scene["harmonics"],
+            scene["opacities"], c2w, (H, W), camera_kind="erp",
+            near=near, far=far, render_depth=True, depth_mode=mode,
+            backend="jax", max_per_tile=512,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tiled.depth), np.asarray(dense.depth), atol=1e-4
+        )
+
+
+def test_dropped_surfaces_on_cap_overflow(scene):
+    """Emission-cap overflow is VISIBLE: render_tiled reports dropped>0 through
+    DecoderOutput and train metrics (VERDICT r1 weak #4)."""
+    from splatter360_tpu.models.decoder import render_erp_views
+    from splatter360_tpu.models.types import Gaussians
+
+    g = Gaussians(
+        means=scene["means"][None],
+        covariances=scene["covariances"][None],
+        harmonics=scene["harmonics"][None],
+        opacities=scene["opacities"][None],
+    )
+    c2w = jnp.eye(4)[None, None]
+    near = jnp.full((1, 1), 0.1)
+    far = jnp.full((1, 1), 100.0)
+
+    out = render_erp_views(g, c2w, near, far, (H, W), backend="jax")
+    assert out.dropped is not None and out.dropped.shape == (1, 1)
+    assert int(out.dropped.sum()) == 0  # default caps hold this scene
+
+    # starve the instance cap -> overflow must be counted, not silent
+    tiny = render_tiled(
+        scene["means"], scene["covariances"], scene["harmonics"],
+        scene["opacities"], jnp.eye(4), (H, W), camera_kind="erp",
+        backend="jax", instance_cap=8, tier_caps=(4, 4, 4),
+    )
+    assert int(tiny.dropped) > 0
+
+
+def test_sequential_faces_match_vmap(scene):
+    """lax.map face rendering (the HBM-fitting train path) is numerically
+    identical to the vmapped path, for values and gradients."""
+    from splatter360_tpu.models.decoder import render_cube_views
+    from splatter360_tpu.models.types import Gaussians
+
+    g = Gaussians(
+        means=scene["means"][None],
+        covariances=scene["covariances"][None],
+        harmonics=scene["harmonics"][None],
+        opacities=scene["opacities"][None],
+    )
+    extr = jnp.eye(4)[None, None]
+    near = jnp.full((1, 1), 0.1)
+    far = jnp.full((1, 1), 100.0)
+
+    def render(op, sequential):
+        out = render_cube_views(
+            g._replace(opacities=op), extr, near, far, (16, 16),
+            backend="jax", sequential=sequential,
+        )
+        return out.color
+
+    c_v = render(g.opacities, False)
+    c_s = render(g.opacities, True)
+    np.testing.assert_allclose(np.asarray(c_s), np.asarray(c_v), atol=1e-6)
+
+    def loss(op, sequential):
+        return jnp.sum(render(op, sequential) ** 2)
+
+    g_v = jax.grad(loss)(g.opacities, False)
+    g_s = jax.grad(loss)(g.opacities, True)
+    # scan vs vmap reassociates the f32 sums -> last-ulp differences only
+    np.testing.assert_allclose(
+        np.asarray(g_s), np.asarray(g_v), rtol=1e-5, atol=1e-4
+    )

@@ -73,3 +73,68 @@ def test_band_sharded_gradients_match(scene):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-6, rtol=2e-4
         )
+
+
+def test_band_sharded_pad_relaxation(scene):
+    """Heights that don't split into tile-row-aligned bands are padded and
+    cropped: h=48 on an 8-device mesh (48 % (16*8) != 0) must still match the
+    single-device render."""
+    mesh = create_mesh(N_DEV)
+    m, c, s, o = (scene["means"], scene["covariances"], scene["harmonics"],
+                  scene["opacities"])
+    c2w = jnp.eye(4)
+    h_odd = 48
+    ref = render_tiled(m, c, s, o, c2w, (h_odd, W), camera_kind="erp",
+                       backend="jax", max_per_tile=512)
+
+    @jax.jit
+    def run(m, c, s, o, c2w):
+        out = render_erp_sharded(
+            m, c, s, o, c2w, (h_odd, W), mesh, backend="jax",
+            max_per_tile=512,
+        )
+        return out.color, out.alpha
+
+    color, alpha = run(m, c, s, o, c2w)
+    assert color.shape == (h_odd, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(color), np.asarray(ref.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(ref.alpha), atol=2e-5
+    )
+
+
+def test_render_erp_views_sharded_wrapper(scene):
+    """The decoder-interface wrapper (train.shard_render path) matches
+    render_erp_views across batch/view axes."""
+    from splatter360_tpu.models.decoder import render_erp_views
+    from splatter360_tpu.models.types import Gaussians
+    from splatter360_tpu.parallel.render_sharding import (
+        render_erp_views_sharded,
+    )
+
+    mesh = create_mesh(N_DEV)
+    m, c, s, o = (scene["means"], scene["covariances"], scene["harmonics"],
+                  scene["opacities"])
+    g = Gaussians(means=m[None], covariances=c[None], harmonics=s[None],
+                  opacities=o[None])
+    extr = jnp.stack([
+        jnp.eye(4),
+        jnp.eye(4).at[:3, 3].set(jnp.array([0.2, 0.0, -0.1])),
+    ])[None]  # [1, 2, 4, 4]
+    near = jnp.full((1, 2), 0.1)
+    far = jnp.full((1, 2), 100.0)
+
+    ref = render_erp_views(g, extr, near, far, (H, W), backend="jax",
+                           render_depth=True)
+    out = render_erp_views_sharded(g, extr, near, far, (H, W), mesh,
+                                   backend="jax", render_depth=True,
+                                   max_per_tile=512)
+    assert out.color.shape == ref.color.shape
+    np.testing.assert_allclose(
+        np.asarray(out.color), np.asarray(ref.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4
+    )
