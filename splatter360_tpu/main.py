@@ -20,6 +20,9 @@ def main(argv=None):
     from .utils.platform import pin_platform_from_env
 
     pin_platform_from_env()
+    from .parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
 
     argv = list(sys.argv[1:] if argv is None else argv)
     path = None

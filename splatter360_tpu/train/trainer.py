@@ -17,8 +17,8 @@ import numpy as np
 
 from ..data.dataset import SceneDataset, batches
 from ..parallel.mesh import (
-    create_mesh, data_mesh_size, data_sharding, replicated_sharding,
-    shard_batch,
+    create_mesh, data_mesh_size, data_sharding, local_batch_size,
+    maybe_initialize_distributed, replicated_sharding, shard_batch,
 )
 from ..utils.step_tracker import StepTracker
 from . import checkpoint as ckpt
@@ -73,12 +73,36 @@ class Validator:
         h = cfg.dataset.image_shape[0]
         self.face = h // 2
 
-        @partial(jax.jit, static_argnames=("render_depth",))
-        def decode_erp(gaussians, extr, near, far, render_depth=False):
-            return render_erp_views(
-                gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
-                render_depth=render_depth, backend=cfg.train.render_backend,
-            )
+        if getattr(cfg.train, "shard_render", False) and jax.device_count() > 1:
+            from ..parallel.mesh import create_mesh
+            from ..parallel.render_sharding import render_erp_views_sharded
+
+            mesh = create_mesh()
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+
+            @partial(jax.jit, static_argnums=(4,),
+                     in_shardings=(rep, rep, rep, rep))
+            def _decode_erp_sharded(gaussians, extr, near, far, render_depth):
+                return render_erp_views_sharded(
+                    gaussians, extr, near, far,
+                    tuple(cfg.dataset.image_shape), mesh,
+                    render_depth=render_depth,
+                    backend=cfg.train.render_backend,
+                )
+
+            def decode_erp(gaussians, extr, near, far, render_depth=False):
+                return _decode_erp_sharded(
+                    gaussians, extr, near, far, render_depth
+                )
+        else:
+            @partial(jax.jit, static_argnames=("render_depth",))
+            def decode_erp(gaussians, extr, near, far, render_depth=False):
+                return render_erp_views(
+                    gaussians, extr, near, far, tuple(cfg.dataset.image_shape),
+                    render_depth=render_depth, backend=cfg.train.render_backend,
+                )
 
         self._decode = decode_erp
 
@@ -180,19 +204,30 @@ class Validator:
 
 class Trainer:
     def __init__(self, cfg, log_dir: str | None = None):
+        # multi-host process group first (no-op single host; reference:
+        # Lightning owns the DDP group, src/main.py:117-135)
+        maybe_initialize_distributed()
         self.cfg = cfg
         self.out = Path(cfg.output_dir)
-        self.out.mkdir(parents=True, exist_ok=True)
+        self.process_index = jax.process_index()
+        self.is_main = self.process_index == 0
+        if self.is_main:
+            self.out.mkdir(parents=True, exist_ok=True)
         self.step_tracker = StepTracker()
-        self.mesh = create_mesh(
-            data_mesh_size(cfg.trainer.batch_size, len(jax.devices()))
+        mesh_size = data_mesh_size(cfg.trainer.batch_size, len(jax.devices()))
+        self.mesh = create_mesh(mesh_size)
+        print(
+            f"data mesh: {mesh_size} device(s), "
+            f"process {self.process_index}/{jax.process_count()}"
         )
-        try:
-            from tensorboardX import SummaryWriter
+        self.writer = None
+        if self.is_main:
+            try:
+                from tensorboardX import SummaryWriter
 
-            self.writer = SummaryWriter(log_dir or str(self.out / "tb"))
-        except Exception:
-            self.writer = None
+                self.writer = SummaryWriter(log_dir or str(self.out / "tb"))
+            except Exception:
+                self.writer = None
 
     def _log(self, step: int, metrics: dict, prefix: str = "train"):
         if self.writer is not None:
@@ -201,11 +236,18 @@ class Trainer:
 
     def fit(self):
         cfg = self.cfg
+        # per-process data sharding + per-rank seed (reference DDP parity:
+        # per-rank seeds src/main.py:135, data_module.py:83-88; chunk sharding
+        # dataset_hm3d.py:108-114). trainer.batch_size is GLOBAL; each host
+        # loads its local slice and shard_batch assembles the global array.
         dataset = SceneDataset(
-            cfg.dataset, split="train", stage="train", seed=cfg.trainer.seed,
+            cfg.dataset, split="train", stage="train",
+            seed=cfg.trainer.seed + self.process_index,
+            shard_index=self.process_index, num_shards=jax.process_count(),
             step_fn=self.step_tracker.get_step,
         )
-        batch_iter = Prefetcher(batches(dataset, cfg.trainer.batch_size))
+        local_bs = local_batch_size(cfg.trainer.batch_size)
+        batch_iter = Prefetcher(batches(dataset, local_bs))
         batch_iter = iter(batch_iter)
 
         first = next(batch_iter)
@@ -236,8 +278,11 @@ class Trainer:
             donate_argnums=(0,),
         )
 
-        validator = Validator(cfg, self.out)
-        if cfg.trainer.num_sanity_val_steps > 0 and int(state.step) == 0:
+        # validation + artifacts are rank-0 only (reference validation_step
+        # rank-0 gate, model_wrapper_erp.py:589-690)
+        validator = Validator(cfg, self.out) if self.is_main else None
+        if (validator is not None and cfg.trainer.num_sanity_val_steps > 0
+                and int(state.step) == 0):
             # sanity check the full val path before the long training loop
             # (num_sanity_val_steps parity, config/main.yaml:74)
             validator.run(state, int(state.step), self.writer)
@@ -269,13 +314,16 @@ class Trainer:
                 jax.block_until_ready(metrics["loss"])
                 dt = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                msg = "; ".join(
-                    f"{k}={float(v):.4f}" for k, v in sorted(metrics.items())
-                )
-                print(f"step {step}: {msg} ({dt:.1f}s)")
-                self._log(step, metrics)
+                if self.is_main:
+                    msg = "; ".join(
+                        f"{k}={float(v):.4f}"
+                        for k, v in sorted(metrics.items())
+                    )
+                    print(f"step {step}: {msg} ({dt:.1f}s)")
+                    self._log(step, metrics)
 
-            if (cfg.trainer.val_check_interval > 0
+            if (validator is not None
+                    and cfg.trainer.val_check_interval > 0
                     and step % cfg.trainer.val_check_interval == 0
                     and step > 0):
                 try:
@@ -283,7 +331,11 @@ class Trainer:
                 except Exception as e:  # validation must not abort training
                     print(f"warning: validation failed at step {step}: {e}")
 
-            if step % cfg.checkpointing.every_n_train_steps == 0 and step > 0:
+            if (self.is_main
+                    and step % cfg.checkpointing.every_n_train_steps == 0
+                    and step > 0):
+                # params/opt state are replicated -> every host holds an
+                # addressable copy; rank 0 alone writes the checkpoint
                 ckpt.save_checkpoint(
                     ckpt_dir, step, jax.device_get(state),
                     cfg.checkpointing.max_to_keep,
@@ -295,8 +347,9 @@ class Trainer:
             jax.block_until_ready(state.params)
             jax.profiler.stop_trace()
 
-        ckpt.save_checkpoint(
-            ckpt_dir, int(state.step), jax.device_get(state),
-            cfg.checkpointing.max_to_keep,
-        )
+        if self.is_main:
+            ckpt.save_checkpoint(
+                ckpt_dir, int(state.step), jax.device_get(state),
+                cfg.checkpointing.max_to_keep,
+            )
         return state
