@@ -2,7 +2,9 @@
 
   * bounded: training curriculum — random context gap in [min, max] with a linear
     warm-up on both the gap and the max distance of targets between the contexts
-    (view_sampler_bounded.py:24-121); test mode pins context to (0, max_gap);
+    (view_sampler_bounded.py:24-121); test mode pins context to
+    (test_context_start, +max_gap) — frame-40 start like the reference's
+    index generator (evaluation_index_generator.py:116-127);
   * evaluation: fixed {scene: {context: [...], target: [...]}} JSON index
     (view_sampler_evaluation.py:24-67);
   * all: (all, all) frames — used by the evaluation-index generator;
@@ -29,6 +31,10 @@ class BoundedSamplerConfig:
     warm_up_steps: int = 0
     initial_min_distance_between_context_views: int = 10
     initial_max_distance_between_context_views: int = 20
+    # test-mode left context frame: the reference skips the first 40 frames
+    # (near-static starts, evaluation_index_generator.py:116-127); clamped
+    # when the scene is too short for start + max_gap
+    test_context_start: int = 40
 
 
 class ViewSamplerBounded:
@@ -50,7 +56,9 @@ class ViewSamplerBounded:
         if self.stage == "test":
             max_gap = min(cfg.max_distance_between_context_views, num_frames - 1)
             min_gap = max_gap
-            index_left = 0
+            index_left = max(
+                min(cfg.test_context_start, num_frames - 1 - max_gap), 0
+            )
         else:
             max_gap = self._schedule(
                 global_step,

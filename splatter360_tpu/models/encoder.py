@@ -32,7 +32,7 @@ from .adapter import GaussianAdapterConfig, adapt_gaussians, map_pdf_to_opacity
 from .backbone import BackboneMultiview, normalize_images
 from .costvolume import DepthPredictor360
 from .dino import DinoViT, VIT_DIMS
-from .layers import CEELayer, bilinear_resize
+from .layers import FUSION_LAYERS, bilinear_resize
 from .types import Gaussians
 
 
@@ -65,6 +65,9 @@ class EncoderConfig:
     )
     depth_sampling_type: str = "log_depth"
     use_cross_view_self_attn: bool = True
+    # cube/ERP branch fusion block: "cee" (default) | "concat" | "biproj"
+    # (reference ablation surface, geometry/layers.py:119-198)
+    fusion_type: str = "cee"
     # ablations (ref Table 3)
     wo_depth_refine: bool = False
     wo_cost_volume: bool = False
@@ -164,9 +167,10 @@ class EncoderCostVolume360(nn.Module):
             y = nn.relu(nn.LayerNorm(name="rgbd_fusion_norm")(y))
             trans_features = nn.Dense(c, use_bias=False, name="rgbd_fusion_1")(y)
 
-        # ---- (4) fuse branches
-        trans_fused = CEELayer(c, name="fuse1")(trans_erp, trans_features)
-        cnn_fused = CEELayer(c, name="fuse2")(cnn_erp, cnn_features)
+        # ---- (4) fuse branches (fusion_type ablation: cee/concat/biproj)
+        fusion = FUSION_LAYERS[cfg.fusion_type]
+        trans_fused = fusion(c, name="fuse1")(trans_erp, trans_features)
+        cnn_fused = fusion(c, name="fuse2")(cnn_erp, cnn_features)
         trans_fused = trans_fused.reshape(b, v, fh, fw, c)
         cnn_fused = cnn_fused.reshape(b, v, fh, fw, c)
 

@@ -91,6 +91,40 @@ class CEELayer(nn.Module):
         return nn.relu(x)
 
 
+class ConcatFusion(nn.Module):
+    """`Concat` fusion variant (geometry/layers.py:119-130): 1x1 conv over the
+    channel-concatenated branches."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, equi_feat, c2e_feat):
+        x = jnp.concatenate([equi_feat, c2e_feat], axis=-1)
+        return nn.relu(nn.Conv(self.channels, (1, 1), use_bias=False)(x))
+
+
+class BiProjFusion(nn.Module):
+    """BiFuse-style `BiProj` gated residual fusion (geometry/layers.py:133-150):
+    each branch gets a 3x3 conv, a sigmoid mask gates the cube branch, and the
+    result is added residually to the ERP branch."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, equi_feat, c2e_feat):
+        e = nn.relu(nn.Conv(self.channels, (3, 3), name="conv_e2c")(equi_feat))
+        c = nn.relu(nn.Conv(self.channels, (3, 3), name="conv_c2e")(c2e_feat))
+        mask = nn.sigmoid(
+            nn.Conv(1, (1, 1), name="conv_mask")(
+                jnp.concatenate([e, c], axis=-1)
+            )
+        )
+        return equi_feat + c * mask
+
+
+FUSION_LAYERS = {"cee": CEELayer, "concat": ConcatFusion, "biproj": BiProjFusion}
+
+
 def bilinear_resize(x: jnp.ndarray, new_h: int, new_w: int) -> jnp.ndarray:
     """Channels-last bilinear resize of [..., H, W, C]."""
     import jax

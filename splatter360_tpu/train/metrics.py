@@ -45,13 +45,27 @@ def _filter2d_sep(x: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def compute_ssim(
-    gt: jnp.ndarray, pred: jnp.ndarray, data_range: float = 1.0
+    gt: jnp.ndarray, pred: jnp.ndarray, data_range: float = 1.0,
+    sample_covariance: bool = True,
 ) -> jnp.ndarray:
-    """gt, pred [B, H, W, C] -> [B]; matches skimage gaussian-weighted SSIM."""
+    """gt, pred [B, H, W, C] -> [B]; skimage-exact gaussian-weighted SSIM.
+
+    Replicates skimage.metrics.structural_similarity(win_size=11,
+    gaussian_weights=True, sigma=1.5, channel_axis=0, data_range) as the
+    reference calls it (metrics.py:39-54):
+      * gaussian filter truncate=3.5 -> radius 5; skimage crops (win-1)//2
+        border pixels from the SSIM map, so filtering over 'valid' windows is
+        identical (every kept window sees only real pixels);
+      * the reference leaves use_sample_covariance=True (the skimage default),
+        so variances/covariance are scaled by cov_norm = NP/(NP-1), NP = 11^2.
+    Set sample_covariance=False for the plain Wang-et-al. formulation.
+    """
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
     k = _gaussian_kernel()
+    win = k.shape[0]
+    cov_norm = win**2 / (win**2 - 1.0) if sample_covariance else 1.0
     x = jnp.moveaxis(gt, -1, 1)    # [B, C, H, W]
     y = jnp.moveaxis(pred, -1, 1)
     mu_x = _filter2d_sep(x, k)
@@ -59,13 +73,9 @@ def compute_ssim(
     mu_xx = _filter2d_sep(x * x, k)
     mu_yy = _filter2d_sep(y * y, k)
     mu_xy = _filter2d_sep(x * y, k)
-    vx = mu_xx - mu_x * mu_x
-    vy = mu_yy - mu_y * mu_y
-    cxy = mu_xy - mu_x * mu_y
-    # skimage uses sample (unbiased-style) normalization via cov_norm for
-    # gaussian_weights=True: cov_norm = 1 (weights sum to 1) -> biased estimate; it
-    # actually applies cov_norm = 1/(1-sum(w^2))... the practical difference is tiny;
-    # we follow the standard Wang et al. formulation with gaussian weights.
+    vx = cov_norm * (mu_xx - mu_x * mu_x)
+    vy = cov_norm * (mu_yy - mu_y * mu_y)
+    cxy = cov_norm * (mu_xy - mu_x * mu_y)
     ssim_map = ((2 * mu_x * mu_y + c1) * (2 * cxy + c2)) / (
         (mu_x**2 + mu_y**2 + c1) * (vx + vy + c2)
     )

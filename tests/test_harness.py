@@ -98,7 +98,8 @@ def test_bounded_sampler_curriculum():
             assert len(set(tgt.tolist())) == len(tgt)
     s_test = ViewSamplerBounded(cfg, stage="test")
     ctx, tgt = s_test.sample(200, rng)
-    assert ctx[0] == 0 and ctx[-1] == 40
+    # frame-40 start (reference evaluation_index_generator.py:116-127)
+    assert ctx[0] == 40 and ctx[-1] == 80
 
 
 def test_evaluation_sampler(tmp_path):
@@ -292,3 +293,70 @@ def test_data_mesh_size():
     assert data_mesh_size(16, 8) == 8
     assert data_mesh_size(0, 8) == 1  # degenerate inputs clamp safely
     assert data_mesh_size(4, 0) == 1
+
+
+def test_data_mesh_size_warns_on_shrink():
+    import warnings
+
+    from splatter360_tpu.parallel.mesh import data_mesh_size
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert data_mesh_size(3, 8) == 3
+    assert any("IDLE" in str(w.message) for w in rec)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert data_mesh_size(8, 8) == 8
+    assert not rec
+
+
+def test_local_batch_size(monkeypatch):
+    import jax
+
+    from splatter360_tpu.parallel import mesh as mesh_mod
+
+    assert mesh_mod.local_batch_size(4) == 4  # single process: full batch
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert mesh_mod.local_batch_size(8) == 2
+    with pytest.raises(ValueError, match="divisible by the process count"):
+        mesh_mod.local_batch_size(6)
+
+
+def test_multihost_batch_assembly_matches_device_put():
+    """jax.make_array_from_process_local_data (the multi-host shard_batch
+    path) must agree with plain device_put sharding on the virtual mesh."""
+    import jax
+
+    from splatter360_tpu.parallel.mesh import create_mesh, shard_batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = create_mesh(8)
+    x = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    via_put = shard_batch(mesh, {"x": x})["x"]
+    via_global = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), x
+    )
+    assert via_global.sharding.is_equivalent_to(via_put.sharding, x.ndim)
+    np.testing.assert_array_equal(np.asarray(via_global), np.asarray(via_put))
+
+
+def test_bounded_sampler_test_mode_frame40():
+    """Test mode starts the left context at frame 40 (reference protocol,
+    evaluation_index_generator.py:116-127), clamped for short scenes."""
+    import numpy as np
+
+    from splatter360_tpu.data.view_sampler import (
+        BoundedSamplerConfig, ViewSamplerBounded,
+    )
+
+    cfg = BoundedSamplerConfig(max_distance_between_context_views=100)
+    s = ViewSamplerBounded(cfg, stage="test")
+    rng = np.random.default_rng(0)
+    ctx, tgt = s.sample(200, rng)
+    assert ctx[0] == 40 and ctx[-1] == 140
+    # short scene: clamp start so the full gap still fits
+    ctx, tgt = s.sample(120, rng)
+    assert ctx[0] == 19 and ctx[-1] == 119
+    # shorter than the gap: gap shrinks to the scene, start 0
+    ctx, tgt = s.sample(50, rng)
+    assert ctx[0] == 0 and ctx[-1] == 49

@@ -261,3 +261,27 @@ def test_encoder_multiview_contexts(v):
     assert g.means.shape == (1, v * h * w, 3)
     assert depth.shape == (1, v, h, w)
     assert bool(jnp.all(jnp.isfinite(g.means)))
+
+
+@pytest.mark.parametrize("fusion", ["concat", "biproj"])
+def test_fusion_variants(fusion):
+    """Concat/BiProj cube-ERP fusion ablations (reference geometry/
+    layers.py:119-151) produce valid Gaussians like the default CEE."""
+    cfg = tiny_encoder_cfg(fusion_type=fusion)
+    enc = EncoderCostVolume360(cfg)
+    batch = tiny_batch()
+    ctx = jax.tree_util.tree_map(jnp.asarray, batch["context"])
+    from splatter360_tpu.train.state import _context_cubes
+
+    cubes = _context_cubes(ctx["image_sphere"], H // 2)
+    params = enc.init(
+        jax.random.PRNGKey(0), ctx["image_sphere"], cubes,
+        ctx["extrinsics_sphere"], ctx["near"], ctx["far"], 0,
+    )
+    gaussians, depth = enc.apply(
+        params, ctx["image_sphere"], cubes, ctx["extrinsics_sphere"],
+        ctx["near"], ctx["far"], 0,
+    )
+    n = V * H * W
+    assert gaussians.means.shape == (B, n, 3)
+    assert np.isfinite(np.asarray(gaussians.means)).all()

@@ -121,3 +121,72 @@ def test_dinov2_conversion_loads():
     )
     got = np.asarray(merged["params"]["block0"]["ls1"])
     np.testing.assert_allclose(got, 1e-5, atol=1e-8)
+
+
+def test_unimatch_conversion_real_key_layout():
+    """Conversion against the REAL gmdepth checkpoint key layout.
+
+    tests/data/unimatch_state_dict_keys.json is the exact state_dict()
+    key->shape map of the reference's BackboneMultiview submodules
+    (CNNEncoder(output_dim=128) + MultiViewFeatureTransformer(6 layers,
+    d=128) — what `torch.load(ckpt)["model"]` provides and
+    encoder_costvolume.py:141-179 filters into both backbones). Every key
+    must be consumed by the converter and the converted tree must load into
+    the full-size flax model.
+    """
+    import json
+    from pathlib import Path
+
+    keys = json.loads(
+        (Path(__file__).parent / "data/unimatch_state_dict_keys.json")
+        .read_text()
+    )
+    assert len(keys) == 115  # authoritative layout size
+    rng = np.random.default_rng(0)
+
+    accessed = set()
+
+    class RecordingSD(dict):
+        def __getitem__(self, k):
+            accessed.add(k)
+            return super().__getitem__(k)
+
+        def __contains__(self, k):
+            return super().__contains__(k)
+
+    sd = RecordingSD(
+        {k: rng.normal(size=s).astype(np.float32) for k, s in keys.items()}
+    )
+    converted = convert_unimatch_backbone(sd, num_layers=6)
+    missed = set(keys) - accessed
+    assert not missed, f"converter ignored real checkpoint keys: {missed}"
+
+    model = BackboneMultiview(
+        feature_channels=128, num_transformer_layers=6, downscale_factor=8
+    )
+    x = jnp.zeros((1, 2, 32, 64, 3))
+    params = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    # shape-level warm start: every converted leaf must match a model leaf
+    flat_model = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    model_shapes = {
+        jax.tree_util.keystr(p): tuple(v.shape) for p, v in flat_model
+    }
+    flat_conv = jax.tree_util.tree_flatten_with_path(converted)[0]
+    for p, v in flat_conv:
+        ks = jax.tree_util.keystr(p)
+        assert ks in model_shapes, f"converted leaf {ks} not in model"
+        assert model_shapes[ks] == tuple(v.shape), (
+            f"{ks}: model {model_shapes[ks]} vs converted {v.shape}"
+        )
+
+
+def test_dinov2_conversion_tolerates_real_extra_keys():
+    """The real DINOv2 ViT-S/14 state dict also carries cls_token /
+    mask_token / (register_tokens); the converter must drop them cleanly."""
+    sd = _fake_dino_sd()
+    sd["cls_token"] = np.zeros((1, 1, 64), np.float32)
+    sd["mask_token"] = np.zeros((1, 64), np.float32)
+    sd["register_tokens"] = np.zeros((1, 4, 64), np.float32)
+    converted = convert_dinov2(sd, grid_hw=(2, 2))
+    assert "cls_token" not in converted
+    assert converted["pos_embed"].shape == (1, 4, 64)
