@@ -53,7 +53,7 @@ def main(argv=None):
             jax.random.PRNGKey(0), cfg.model, cfg.train,
             {k: v for k, v in first.items() if k != "scene"},
         )
-        ckpt_dir = cfg.checkpointing.load or str(
+        ckpt_dir = ckpt.resolve_checkpoint_uri(cfg.checkpointing.load) or str(
             Path(cfg.output_dir) / "checkpoints"
         )
         state, ok = ckpt.restore_weights_only(ckpt_dir, state)

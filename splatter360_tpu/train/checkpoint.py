@@ -111,3 +111,71 @@ def partial_warm_start(params: Any, donor: Any) -> Any:
         for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
     ]
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def resolve_checkpoint_uri(path: str | None) -> str | None:
+    """Resolve `wandb://run_id[:version]` checkpoint URIs to local paths
+    (reference: src/misc/wandb_tools.py:42-62 downloads the run's latest
+    COMMITTED model artifact via the wandb API).
+
+    This environment has zero network egress, so resolution is two-stage:
+      1. if the `wandb` SDK is importable AND WANDB_API_KEY is set, use the
+         API exactly like the reference (latest model artifact, or the
+         requested vN version);
+      2. otherwise look in the local artifact store
+         $SPLAT360_WANDB_ARTIFACTS/<run_id>/<version>/ (version dirs named
+         vN; highest N wins when no version is requested).
+    Non-wandb paths pass through unchanged.
+    """
+    if path is None or not str(path).startswith("wandb://"):
+        return path
+    run_id, *rest = str(path)[len("wandb://"):].split(":")
+    if len(rest) > 1:
+        raise ValueError(f"invalid wandb checkpoint URI {path!r}")
+    version = rest[0] if rest else None
+
+    try:
+        if os.environ.get("WANDB_API_KEY"):
+            import wandb
+
+            api = wandb.Api()
+            run = api.run(run_id)
+            chosen = None
+            for artifact in run.logged_artifacts():
+                if artifact.type != "model" or artifact.state != "COMMITTED":
+                    continue
+                if version is None:
+                    if chosen is None or int(artifact.version[1:]) > int(
+                        chosen.version[1:]
+                    ):
+                        chosen = artifact
+                elif version == artifact.version:
+                    chosen = artifact
+                    break
+            if chosen is not None:
+                root = Path("checkpoints") / run_id.replace("/", "_")
+                chosen.download(root=str(root))
+                return str(root)
+    except Exception as e:
+        print(f"warning: wandb API resolution failed ({e}); "
+              f"falling back to the local artifact store")
+
+    store = Path(
+        os.environ.get("SPLAT360_WANDB_ARTIFACTS", "wandb_artifacts")
+    )
+    run_dir = store / run_id.replace("/", "_")
+    if not run_dir.is_dir():
+        raise FileNotFoundError(
+            f"cannot resolve {path!r}: no wandb API access and no local "
+            f"artifact dir {run_dir} (set SPLAT360_WANDB_ARTIFACTS)"
+        )
+    if version is None:
+        versions = sorted(
+            (d for d in run_dir.iterdir()
+             if d.is_dir() and d.name.startswith("v")),
+            key=lambda d: int(d.name[1:]),
+        )
+        if not versions:
+            raise FileNotFoundError(f"no vN version dirs under {run_dir}")
+        return str(versions[-1])
+    return str(run_dir / version)

@@ -360,3 +360,26 @@ def test_bounded_sampler_test_mode_frame40():
     # shorter than the gap: gap shrinks to the scene, start 0
     ctx, tgt = s.sample(50, rng)
     assert ctx[0] == 0 and ctx[-1] == 49
+
+
+def test_wandb_checkpoint_uri_local_store(tmp_path, monkeypatch):
+    """wandb:// URIs resolve through the local artifact store when the wandb
+    API is unreachable (zero egress; reference wandb_tools.py:42-62)."""
+    from splatter360_tpu.train.checkpoint import resolve_checkpoint_uri
+
+    store = tmp_path / "artifacts"
+    for v in ("v1", "v3", "v10"):
+        (store / "run7" / v).mkdir(parents=True)
+    monkeypatch.setenv("SPLAT360_WANDB_ARTIFACTS", str(store))
+    monkeypatch.delenv("WANDB_API_KEY", raising=False)
+
+    # latest version wins when none requested (v10 > v3 numerically)
+    assert resolve_checkpoint_uri("wandb://run7").endswith("run7/v10")
+    assert resolve_checkpoint_uri("wandb://run7:v3").endswith("run7/v3")
+    # non-wandb paths pass through
+    assert resolve_checkpoint_uri("/a/b") == "/a/b"
+    assert resolve_checkpoint_uri(None) is None
+    with pytest.raises(FileNotFoundError):
+        resolve_checkpoint_uri("wandb://missing_run")
+    with pytest.raises(ValueError):
+        resolve_checkpoint_uri("wandb://run7:v1:v2")
