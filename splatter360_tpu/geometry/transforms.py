@@ -46,6 +46,90 @@ def build_covariance(scale: jnp.ndarray, quat_xyzw: jnp.ndarray) -> jnp.ndarray:
     return rs @ jnp.swapaxes(rs, -1, -2)
 
 
+# Symmetric-6 covariance representation (s00, s01, s02, s11, s12, s22).
+#
+# WHY: a per-gaussian [N, 3, 3] tensor kept live across the train step's
+# fwd/bwd boundary gets a TPU tiled layout that pads (3, 3) -> (4, 128) — a
+# 57x HBM expansion (measured: the 36 MB covariance residual cost 2 GB at the
+# 512x1024 hm3d scale and OOMed the chip). The projection math only ever reads
+# the 6 unique entries as [N] columns (_cov2d_scalar), so the model path
+# carries sym6 and the [3, 3] form is accepted everywhere for interchange.
+_SYM6_IDX = (0, 1, 2, 4, 5, 8)  # row-major upper-triangle picks from [..., 9]
+
+
+def cov_as_sym6(cov: jnp.ndarray) -> jnp.ndarray:
+    """[..., 3, 3] or [..., 6] covariance -> [..., 6] (s00,s01,s02,s11,s12,s22)."""
+    if cov.shape[-1] == 6 and (cov.ndim < 2 or cov.shape[-2:] != (3, 3)):
+        return cov
+    flat = cov.reshape(*cov.shape[:-2], 9)
+    return flat[..., jnp.array(_SYM6_IDX)]
+
+
+def sym6_to_matrix(sym6: jnp.ndarray) -> jnp.ndarray:
+    """[..., 6] -> full symmetric [..., 3, 3]."""
+    s00, s01, s02, s11, s12, s22 = (sym6[..., i] for i in range(6))
+    rows = jnp.stack(
+        [s00, s01, s02, s01, s11, s12, s02, s12, s22], axis=-1
+    )
+    return rows.reshape(*sym6.shape[:-1], 3, 3)
+
+
+def build_covariance_sym6(
+    scale: jnp.ndarray,
+    quat_xyzw: jnp.ndarray,
+    world_rot: jnp.ndarray | None = None,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Fully scalarized Sigma = (Rw Rq S)(Rw Rq S)^T as a sym6 [..., 6].
+
+    scale [..., 3]; quat_xyzw [..., 4]; world_rot [..., 3, 3] or None — an
+    extra rotation folded in BEFORE the product (the adapter's c2w rotation,
+    broadcast over the gaussian axis). No [..., 3, 3] per-gaussian tensor is
+    ever materialized: everything is elementwise [...] math that XLA fuses.
+    """
+    i = quat_xyzw[..., 0]
+    j = quat_xyzw[..., 1]
+    k = quat_xyzw[..., 2]
+    r = quat_xyzw[..., 3]
+    two_s = 2.0 / (jnp.sum(quat_xyzw * quat_xyzw, axis=-1) + eps)
+    rq = (
+        1 - two_s * (j * j + k * k),
+        two_s * (i * j - k * r),
+        two_s * (i * k + j * r),
+        two_s * (i * j + k * r),
+        1 - two_s * (i * i + k * k),
+        two_s * (j * k - i * r),
+        two_s * (i * k - j * r),
+        two_s * (j * k + i * r),
+        1 - two_s * (i * i + j * j),
+    )  # 9 x [...] entries of R_quat, row-major
+    if world_rot is not None:
+        # rw[a][b] = sum_c world_rot[..., a, c] * rq[c*3+b]; world_rot entries
+        # broadcast against the gaussian axis (they carry no N dimension)
+        wr = [[world_rot[..., a, b] for b in range(3)] for a in range(3)]
+        m = [
+            sum(wr[a][c] * rq[c * 3 + b] for c in range(3))
+            for a in range(3)
+            for b in range(3)
+        ]
+    else:
+        m = list(rq)
+    s0, s1, s2 = scale[..., 0], scale[..., 1], scale[..., 2]
+    # M = R diag(s): scale the columns
+    m = [m[3 * a + b] * (s0, s1, s2)[b] for a in range(3) for b in range(3)]
+
+    def dot(a, b):
+        return (
+            m[3 * a] * m[3 * b] + m[3 * a + 1] * m[3 * b + 1]
+            + m[3 * a + 2] * m[3 * b + 2]
+        )
+
+    return jnp.stack(
+        [dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)],
+        axis=-1,
+    )
+
+
 def homogenize_points(points: jnp.ndarray) -> jnp.ndarray:
     """[..., 3] -> [..., 4] with a trailing 1."""
     return jnp.concatenate([points, jnp.ones_like(points[..., :1])], axis=-1)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..geometry.erp import erp_ray_directions
 from ..geometry.sh import num_sh_coeffs, rotate_sh
-from ..geometry.transforms import build_covariance
+from ..geometry.transforms import build_covariance_sym6
 from .types import Gaussians
 
 
@@ -74,11 +74,13 @@ def adapt_gaussians(
 
     sh = raw_sh.reshape(b, v, n, 3, d_sh) * sh_band_mask(cfg.sh_degree)
 
-    covs = build_covariance(scales, quats)  # camera-frame [B, V, N, 3, 3]
+    # world covariance as sym6: (Rw Rq S)(...)^T fully scalarized — a live
+    # [B,V,N,3,3] residual pads (3,3)->(4,128) on TPU (57x HBM, measured 2 GB
+    # at hm3d scale); sym6 keeps the decode residual at true size
     c2w_rot = extrinsics[..., :3, :3]  # [B, V, 3, 3]
-    covs = jnp.einsum(
-        "bvij,bvnjk,bvlk->bvnil", c2w_rot, covs, c2w_rot
-    )
+    covs = build_covariance_sym6(
+        scales, quats, world_rot=c2w_rot[:, :, None]
+    )  # [B, V, N, 6]
 
     # world means: unit ERP ray dirs * depth, rotated + translated by c2w
     dirs = erp_ray_directions(h, w, depths.dtype).reshape(n, 3)
@@ -92,7 +94,7 @@ def adapt_gaussians(
 
     return Gaussians(
         means=means.reshape(b, v * n, 3),
-        covariances=covs.reshape(b, v * n, 3, 3),
+        covariances=covs.reshape(b, v * n, 6),
         harmonics=sh_world.reshape(b, v * n, 3, d_sh),
         opacities=opacities[..., 0].reshape(b, v * n),
     )

@@ -38,9 +38,15 @@ def visualize_gaussians(
     v = imgs.shape[0]
 
     opac = np.asarray(gaussians.opacities[0]).reshape(v, h, w)
-    # mean stddev: sqrt(trace/3) of the world covariance
-    cov = np.asarray(gaussians.covariances[0]).reshape(v, h, w, 3, 3)
-    scale = np.sqrt(np.maximum(np.trace(cov, axis1=-2, axis2=-1) / 3.0, 0.0))
+    # mean stddev: sqrt(trace/3) of the world covariance ([.., 3, 3] or sym6)
+    cov = np.asarray(gaussians.covariances[0])
+    if cov.shape[-1] == 6:
+        trace = cov[..., 0] + cov[..., 3] + cov[..., 5]
+    else:
+        trace = np.trace(
+            cov.reshape(v, h, w, 3, 3), axis1=-2, axis2=-1
+        ).reshape(-1)
+    scale = np.sqrt(np.maximum(trace.reshape(v, h, w) / 3.0, 0.0))
     dc = np.asarray(gaussians.harmonics[0][..., 0]).reshape(v, h, w, 3)
     dc_rgb = np.clip(dc * _SH_C0 + 0.5, 0.0, 1.0)
     depth = np.asarray(depth_map[0])

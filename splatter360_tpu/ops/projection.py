@@ -62,13 +62,20 @@ def _rotate_rows(w2c_rot, du, dv):
 def _cov2d_scalar(w2c_rot, du, dv, covs):
     """2D covariance (a, b, c) from scalarized Jacobian rows and world covs.
 
-    du/dv: triples of [N] arrays = d(pixel)/d(p_cam) rows; covs [N, 3, 3].
-    Computes T Σ Tᵀ with T = J @ R as pure elementwise [N] math.
+    du/dv: triples of [N] arrays = d(pixel)/d(p_cam) rows; covs [N, 3, 3]
+    or sym6 [N, 6] (the model path's layout-friendly form, see
+    geometry/transforms.py cov_as_sym6). Computes T Σ Tᵀ with T = J @ R as
+    pure elementwise [N] math.
     """
     (t00, t01, t02), (t10, t11, t12) = _rotate_rows(w2c_rot, du, dv)
-    cf = covs.reshape(-1, 9)
-    s00, s01, s02 = cf[:, 0], cf[:, 1], cf[:, 2]
-    s11, s12, s22 = cf[:, 4], cf[:, 5], cf[:, 8]
+    if covs.shape[-1] == 6 and covs.ndim == 2:
+        cf = covs
+        s00, s01, s02 = cf[:, 0], cf[:, 1], cf[:, 2]
+        s11, s12, s22 = cf[:, 3], cf[:, 4], cf[:, 5]
+    else:
+        cf = covs.reshape(-1, 9)
+        s00, s01, s02 = cf[:, 0], cf[:, 1], cf[:, 2]
+        s11, s12, s22 = cf[:, 4], cf[:, 5], cf[:, 8]
 
     # Σ·tᵀ rows reused across the three quadratic forms.
     p0 = s00 * t00 + s01 * t01 + s02 * t02

@@ -72,8 +72,13 @@ class TrainState(struct.PyTreeNode):
 
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     if cfg.cosine_lr:
+        # pct_start must span >= 1 whole step: a zero-length warm interval
+        # makes optax's boundary division produce NaN lr (and silently NaNs
+        # the entire model) on short runs (max_steps < 100 at pct 0.01)
+        steps = max(cfg.max_steps, 2)
         schedule = optax.cosine_onecycle_schedule(
-            transition_steps=cfg.max_steps, peak_value=cfg.lr, pct_start=0.01
+            transition_steps=steps, peak_value=cfg.lr,
+            pct_start=max(0.01, 1.001 / steps),
         )
     else:
         schedule = optax.linear_schedule(

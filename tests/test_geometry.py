@@ -231,3 +231,35 @@ def test_zdepth_to_distance_axis_orientation():
     d = np.asarray(zdepth_to_distance(z, 1e9, 0.5, 0.5, 0.5))
     assert np.allclose(d, d[:, :1], atol=1e-6)  # constant along width
     assert not np.allclose(d, d[:1, :], atol=1e-3)  # varies along height
+
+
+def test_covariance_sym6_matches_matrix_path():
+    """build_covariance_sym6 (the scalarized, layout-friendly model path) ==
+    R_w @ build_covariance(s, q) @ R_w^T, including the folded world rotation;
+    cov_as_sym6/sym6_to_matrix round-trip."""
+    from splatter360_tpu.geometry.transforms import (
+        build_covariance, build_covariance_sym6, cov_as_sym6, sym6_to_matrix,
+    )
+
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, (64, 4))
+    s = jax.random.uniform(jax.random.PRNGKey(12), (64, 3), minval=0.1,
+                           maxval=2.0)
+    # a valid world rotation from a reference quaternion
+    rw = quaternion_to_matrix(
+        jax.random.normal(jax.random.PRNGKey(13), (4,))
+        / jnp.linalg.norm(jax.random.normal(jax.random.PRNGKey(13), (4,)))
+    )
+    want = jnp.einsum("ij,njk,lk->nil", rw, build_covariance(s, q), rw)
+    got6 = build_covariance_sym6(s, q, world_rot=rw)
+    np.testing.assert_allclose(
+        np.asarray(sym6_to_matrix(got6)), np.asarray(want), atol=1e-5
+    )
+    # round-trip + matrix normalization
+    np.testing.assert_allclose(
+        np.asarray(cov_as_sym6(want)), np.asarray(got6), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(build_covariance_sym6(s, q)),
+        np.asarray(cov_as_sym6(build_covariance(s, q))), atol=1e-5,
+    )

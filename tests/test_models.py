@@ -90,7 +90,7 @@ def test_encoder_forward_shapes(state_and_step):
     )
     n = V * H * W
     assert gaussians.means.shape == (B, n, 3)
-    assert gaussians.covariances.shape == (B, n, 3, 3)
+    assert gaussians.covariances.shape == (B, n, 6)  # sym6 (layout-friendly)
     assert gaussians.harmonics.shape == (B, n, 3, 4)  # sh_degree 1
     assert gaussians.opacities.shape == (B, n)
     assert depth.shape == (B, V, H, W)
@@ -98,7 +98,10 @@ def test_encoder_forward_shapes(state_and_step):
     assert (d >= 0.1 - 1e-5).all() and (d <= 10.0 + 1e-5).all()
     assert np.isfinite(np.asarray(gaussians.means)).all()
     # covariances PSD
-    evals = np.linalg.eigvalsh(np.asarray(gaussians.covariances[0, :50]))
+    from splatter360_tpu.geometry.transforms import sym6_to_matrix
+
+    cov_m = np.asarray(sym6_to_matrix(gaussians.covariances[0, :50]))
+    evals = np.linalg.eigvalsh(cov_m)
     assert (evals > -1e-8).all()
 
 
