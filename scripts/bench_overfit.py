@@ -1,0 +1,161 @@
+"""Overfit-one-scene PSNR benchmark — the quality north-star harness.
+
+Trains the full model on ONE procedural room scene (preprocess/) and tracks
+novel-view PSNR on a fixed held-out (context, target) pair from the same
+scene. A healthy encoder/renderer/losses stack must overfit a single scene
+fast; a silent quality regression anywhere in that chain (rasterizer math,
+adapter, cost volume, losses) shows up as a depressed curve long before any
+HM3D-scale run could.
+
+Mirrors the spirit of the reference's training recipe (README.md:126-141) at
+1-scene scale; the eval protocol is the repo's own (PSNR on rendered novel
+views, evaluator parity).
+
+Usage:
+  python scripts/bench_overfit.py                 # TPU, 128x256, 1500 steps
+  SPLAT360_OVERFIT_SMALL=1 python scripts/...     # CPU smoke, 64x128, 60 steps
+Writes OVERFIT.json {final_psnr, curve, ...} next to the repo root and prints
+one summary line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from splatter360_tpu.utils.platform import pin_platform_from_env  # noqa: E402
+
+pin_platform_from_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    small = os.environ.get("SPLAT360_OVERFIT_SMALL") == "1"
+    steps = int(os.environ.get("SPLAT360_OVERFIT_STEPS",
+                               "60" if small else "1500"))
+    h, w = (64, 128) if small else (128, 256)
+    scene_dir = f"/tmp/overfit_scene_{h}x{w}"
+
+    from splatter360_tpu.preprocess import generate_scene
+
+    if not os.path.exists(scene_dir):
+        info = generate_scene(
+            scene_dir, "train", "room0", n_frames=24, image_shape=(h, w),
+            seed=7,
+        )
+        print(f"generated scene: {info}", file=sys.stderr)
+
+    from splatter360_tpu.config import load_config
+    from splatter360_tpu.data.dataset import (
+        SceneDataset, batch_examples, batches,
+    )
+    from splatter360_tpu.train.state import (
+        create_train_state, make_train_step,
+    )
+
+    overrides = [
+        f"dataset.roots=[{scene_dir}]",
+        f"dataset.image_shape=[{h},{w}]",
+        "dataset.view_sampler.max_distance_between_context_views=6",
+        "dataset.view_sampler.min_distance_between_context_views=3",
+        "dataset.view_sampler.num_target_views=2",
+        f"train.optimizer.max_steps={steps}",
+        "train.optimizer.warm_up_steps=100",
+        "train.optimizer.lr=4e-4",
+    ]
+    if small:
+        overrides += [
+            "model.d_feature=32", "model.num_depth_candidates=16",
+            "model.costvolume_unet_feat_dim=32",
+            "model.costvolume_unet_channel_mult=[1,1]",
+            "model.costvolume_unet_attn_res=[2]",
+            "model.depth_unet_feat_dim=8", "model.depth_unet_attn_res=[8]",
+            "model.depth_unet_channel_mult=[1,1,1]",
+            "model.gaussian_adapter.sh_degree=1",
+            "train.render_backend=jax",
+        ]
+    else:
+        overrides += [
+            "model.d_feature=64", "model.num_depth_candidates=48",
+            "model.costvolume_unet_feat_dim=64",
+            "model.gaussian_adapter.sh_degree=2",
+        ]
+    cfg = load_config("configs/hm3d.yaml", overrides)
+    print(f"devices: {jax.devices()}  {h}x{w} steps={steps}", file=sys.stderr)
+
+    dataset = SceneDataset(cfg.dataset, split="train", stage="train", seed=0)
+    batch_iter = batches(dataset, 1)
+    first = next(batch_iter)
+    first = {k: v for k, v in first.items() if k != "scene"}
+
+    # fixed held-out pair: a deterministic context/target split of the scene
+    val_ds = SceneDataset(cfg.dataset, split="train", stage="test", seed=1)
+    val_ex = next(iter(val_ds))
+    val = batch_examples([val_ex])
+
+    state = create_train_state(
+        jax.random.PRNGKey(0), cfg.model, cfg.train, first)
+    step_fn = jax.jit(
+        make_train_step(cfg.model, cfg.train), donate_argnums=(0,))
+
+    from splatter360_tpu.models.decoder import render_erp_views
+    from splatter360_tpu.train.metrics import compute_psnr
+    from splatter360_tpu.train.state import _context_cubes
+
+    @jax.jit
+    def val_psnr(params):
+        ctx = jax.tree_util.tree_map(jnp.asarray, val["context"])
+        tgt = jax.tree_util.tree_map(jnp.asarray, val["target"])
+        cubes = _context_cubes(ctx["image_sphere"], h // 2)
+        gaussians, _ = state.apply_fn(
+            params, ctx["image_sphere"], cubes, ctx["extrinsics_sphere"],
+            ctx["near"], ctx["far"], 10**9,
+        )
+        out = render_erp_views(
+            gaussians, tgt["extrinsics_sphere"], tgt["near"], tgt["far"],
+            (h, w), backend=cfg.train.render_backend,
+        )
+        flat_p = out.color.reshape(-1, h, w, 3)
+        flat_g = tgt["image_sphere"].reshape(-1, h, w, 3)
+        return jnp.mean(compute_psnr(flat_g, flat_p))
+
+    curve = []
+    eval_every = max(steps // 15, 10)
+    t0 = time.perf_counter()
+    batch = first
+    while int(state.step) < steps:
+        state, metrics = step_fn(state, batch)
+        s = int(state.step)
+        if s % eval_every == 0 or s == 1 or s >= steps:
+            p = float(val_psnr(state.params))
+            curve.append({"step": s, "psnr": round(p, 3),
+                          "loss": round(float(metrics["loss"]), 5)})
+            print(f"step {s}: val_psnr={p:.3f} "
+                  f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
+        nxt = next(batch_iter)
+        batch = {k: v for k, v in nxt.items() if k != "scene"}
+    dt = time.perf_counter() - t0
+
+    final = curve[-1]["psnr"]
+    art = {
+        "final_psnr": final,
+        "steps": steps,
+        "image_shape": [h, w],
+        "small": small,
+        "seconds": round(dt, 1),
+        "curve": curve,
+    }
+    out_path = "OVERFIT.json" if not small else "/tmp/overfit_small.json"
+    with open(out_path, "w") as f:
+        json.dump(art, f, indent=2)
+    print(json.dumps({"metric": "overfit_psnr", "value": final,
+                      "unit": "dB", "steps": steps}))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,10 +21,14 @@ def main():
     ap.add_argument("--spacing", type=float, default=0.09)
     ap.add_argument("--via-cubes", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--validate", action="store_true",
+                    help="cross-view RGB-D consistency check per scene "
+                         "(preprocess/check_eipipolar.py parity)")
     args = ap.parse_args()
     h, w = (int(x) for x in args.shape.lower().split("x"))
 
     from splatter360_tpu.preprocess import generate_scene
+    from splatter360_tpu.preprocess.validate import check_scene_consistency
 
     for split, count, base in (("train", args.n_train, 0),
                                ("test", args.n_test, 10_000)):
@@ -36,6 +40,14 @@ def main():
                 via_cubes=args.via_cubes,
             )
             print(split, info)
+            if args.validate:
+                stats = check_scene_consistency(
+                    args.root, split, f"proc{base + i:05d}"
+                )
+                print(split, "consistency", stats)
+                assert stats["coverage"] > 0.05, "degenerate scene geometry"
+                assert stats["depth_absrel"] < 0.05, "inconsistent depth"
+
 
 
 if __name__ == "__main__":

@@ -22,3 +22,4 @@ whole training/eval stack runs on them unchanged.
 from .generate import generate_scene  # noqa: F401
 from .scene_builder import build_room_world  # noqa: F401
 from .trajectory import sample_trajectory  # noqa: F401
+from .validate import check_scene_consistency  # noqa: F401

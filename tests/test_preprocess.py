@@ -97,3 +97,64 @@ def test_generate_scene_roundtrip(tmp_path):
     assert valid.mean() > 0.97
     d = depth_m[valid]
     assert 0.1 < d.min() and d.max() < 15.0
+
+
+def test_scene_consistency_checker(tmp_path):
+    """Cross-view RGB-D consistency validation (check_eipipolar.py parity):
+    a healthy generated scene passes; corrupting the depth map fails it."""
+    from splatter360_tpu.preprocess import generate_scene
+    from splatter360_tpu.preprocess.validate import check_scene_consistency
+    from splatter360_tpu.data.scene_io import load_scene, save_scene
+
+    generate_scene(tmp_path, "train", "ok0", n_frames=6,
+                   image_shape=(48, 96), seed=3)
+    stats = check_scene_consistency(tmp_path, "train", "ok0", n_pairs=4)
+    assert stats["coverage"] > 0.1
+    assert stats["depth_absrel"] < 0.05
+    assert stats["color_mae"] < 0.12
+
+    # corrupt: per-frame alternating depth scale -> cross-view reprojection
+    # disagrees -> consistency coverage collapses (the checker must catch it)
+    data = load_scene(tmp_path, "train", "ok0")
+    scale = np.where(np.arange(data["depth_m"].shape[0]) % 2 == 0, 1.0, 1.6)
+    bad_depth = (
+        data["depth_m"] * scale[:, None, None] * 1000
+    ).astype(np.uint16)
+    save_scene(tmp_path, "train", "bad0", data["rgb"], bad_depth,
+               data["poses"])
+    bad = check_scene_consistency(tmp_path, "train", "bad0", n_pairs=4)
+    assert bad["coverage"] < stats["coverage"] * 0.5
+
+
+def test_convert_reference_scene_layout(tmp_path):
+    """convert_reference_scene ingests the reference generator's exact
+    on-disk layout (pano/%05d.png, pano_depth mm PNGs, rotation.npy,
+    translation.npy — preprocess/dataset_generation, SURVEY.md §3.4)."""
+    import cv2
+
+    from splatter360_tpu.data.scene_io import (
+        convert_reference_scene, load_scene,
+    )
+
+    src = tmp_path / "rawscene"
+    (src / "pano").mkdir(parents=True)
+    (src / "pano_depth").mkdir()
+    (src / "cubemaps_depth").mkdir()  # present in real data; not consumed
+    rng = np.random.default_rng(0)
+    n, h, w = 3, 32, 64
+    rot = np.tile(np.eye(3, dtype=np.float32), (n, 1, 1))
+    trans = rng.normal(0, 0.1, (n, 3)).astype(np.float32)
+    np.save(src / "rotation.npy", rot)
+    np.save(src / "translation.npy", trans)
+    rgbs = rng.integers(0, 255, (n, h, w, 3)).astype(np.uint8)
+    deps = rng.integers(500, 8000, (n, h, w)).astype(np.uint16)
+    for i in range(n):
+        cv2.imwrite(str(src / "pano" / f"{i:05d}.png"),
+                    cv2.cvtColor(rgbs[i], cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(src / "pano_depth" / f"{i:05d}.png"), deps[i])
+
+    convert_reference_scene(str(src), tmp_path, "train", "conv0")
+    data = load_scene(tmp_path, "train", "conv0")
+    np.testing.assert_array_equal(data["rgb"], rgbs)
+    np.testing.assert_allclose(data["depth_m"], deps / 1000.0, rtol=1e-6)
+    np.testing.assert_allclose(data["poses"][:, :3, 3], trans, atol=1e-6)
