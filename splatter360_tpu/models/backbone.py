@@ -116,7 +116,7 @@ class BackboneMultiview(nn.Module):
             pos = jnp.tile(pos, (attn_splits, attn_splits, 1))
         else:
             pos = sine_position_embedding(fh, fw, self.feature_channels)
-        feats_pos = cnn_features + pos
+        feats_pos = cnn_features + pos.astype(cnn_features.dtype)
 
         trans_features = MultiViewFeatureTransformer(
             num_layers=self.num_transformer_layers,

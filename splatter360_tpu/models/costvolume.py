@@ -166,11 +166,13 @@ class DepthPredictor360(nn.Module):
             raw_corr = nn.Conv(d, (3, 3))(y)
             raw_corr = raw_corr + nn.Conv(d, (1, 1), name="regressor_residual")(x)
 
-        # ---- coarse depth via softmax expectation
+        # ---- coarse depth via softmax expectation (f32 island: the depth
+        # expectation and disparity math stay full precision under bf16
+        # network compute)
         y = nn.Conv(2 * d, (3, 3))(raw_corr)
         y = nn.gelu(y, approximate=False)
         y = nn.Conv(d, (3, 3))(y)
-        pdf = nn.softmax(y, axis=-1)  # [B*V, h, w, D]
+        pdf = nn.softmax(y.astype(jnp.float32), axis=-1)  # [B*V, h, w, D]
         cand_f = cand.reshape(b * v, 1, 1, d)
         coarse_depth = jnp.sum(pdf * cand_f, axis=-1, keepdims=True)
         coarse_disp = 1.0 / coarse_depth
@@ -194,8 +196,12 @@ class DepthPredictor360(nn.Module):
 
         # ---- full-res depth refinement
         imgs = images.reshape(b * v, hh, ww, 3)
+        # back into network compute dtype (the f32 disparity island must not
+        # promote the refine U-Net's convs to f32)
         refine_in = jnp.concatenate(
-            [imgs, proj_feature, fullres_disp, pdf_max_full], axis=-1
+            [imgs, proj_feature,
+             fullres_disp.astype(features.dtype),
+             pdf_max_full.astype(features.dtype)], axis=-1
         )
         du = self.depth_unet_feat_dim
         if self.wo_depth_refine:
@@ -220,7 +226,7 @@ class DepthPredictor360(nn.Module):
         raw_gaussians = nn.Conv(self.gaussian_raw_channels, (3, 3))(y)
         raw_gaussians = raw_gaussians.reshape(
             b, v, hh * ww, self.gaussian_raw_channels
-        )
+        ).astype(jnp.float32)  # adapter geometry math stays f32
 
         # ---- fine depth + density head
         gpp = self.gaussians_per_pixel
@@ -232,10 +238,15 @@ class DepthPredictor360(nn.Module):
             y = nn.gelu(y, approximate=False)
             y = nn.Conv(gpp * 2, (3, 3))(y)
             delta_disp, raw_density = jnp.split(y, 2, axis=-1)
-            densities = nn.sigmoid(raw_density).reshape(b, v, hh * ww, gpp)
+            densities = nn.sigmoid(
+                raw_density.astype(jnp.float32)
+            ).reshape(b, v, hh * ww, gpp)
             lo = (1.0 / far).reshape(b * v, 1, 1, 1)
             hi = (1.0 / near).reshape(b * v, 1, 1, 1)
-            fine_disp = jnp.clip(fullres_disp + delta_disp, lo, hi)
+            # disparity/depth math in f32 (delta from the bf16 head upcast)
+            fine_disp = jnp.clip(
+                fullres_disp + delta_disp.astype(jnp.float32), lo, hi
+            )
             depths = (1.0 / fine_disp).reshape(b, v, hh * ww, gpp)
 
         return depths, densities, raw_gaussians

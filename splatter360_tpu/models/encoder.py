@@ -68,6 +68,10 @@ class EncoderConfig:
     # cube/ERP branch fusion block: "cee" (default) | "concat" | "biproj"
     # (reference ablation surface, geometry/layers.py:119-198)
     fusion_type: str = "cee"
+    # bf16 network compute (f32 master params cast per-apply; softmax /
+    # depth-expectation / adapter geometry stay f32) — ~2x MXU throughput on
+    # TPU for the conv/attention-heavy encoder. Enabled in configs/hm3d.yaml.
+    bf16_compute: bool = False
     # ablations (ref Table 3)
     wo_depth_refine: bool = False
     wo_cost_volume: bool = False

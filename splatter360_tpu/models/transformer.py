@@ -71,8 +71,11 @@ class TransformerLayer(nn.Module):
         v = nn.Dense(c, use_bias=False, name="v_proj")(target)
         scores = jnp.einsum("...lc,...mc->...lm", q, k) / (c**0.5)
         if mask is not None:
-            scores = scores + mask
-        attn = nn.softmax(scores, axis=-1)
+            scores = scores + mask.astype(scores.dtype)
+        # f32 softmax for bf16 compute (standard mixed-precision hygiene)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            scores.dtype
+        )
         message = jnp.einsum("...lm,...mc->...lc", attn, v)
         message = nn.Dense(c, use_bias=False, name="merge")(message)
         message = nn.LayerNorm(name="norm1")(message)

@@ -68,7 +68,10 @@ class AttentionBlock(nn.Module):
             k = k.reshape(b, num_views * h * w, heads, c // heads)
             v = v.reshape(b, num_views * h * w, heads, c // heads)
         scores = jnp.einsum("blhd,bmhd->bhlm", q, k) / (c // heads) ** 0.5
-        attn = nn.softmax(scores, axis=-1)
+        # f32 softmax for bf16 compute (standard mixed-precision hygiene)
+        attn = nn.softmax(scores.astype(jnp.float32), axis=-1).astype(
+            scores.dtype
+        )
         out = jnp.einsum("bhlm,bmhd->blhd", attn, v)
         out = out.reshape(bv, h * w, c)
         out = nn.Dense(c, kernel_init=nn.initializers.zeros, name="proj")(out)

@@ -63,8 +63,10 @@ def bilinear_sample(
     v10 = _gather_2d(img, x0m, y1m)
     v11 = _gather_2d(img, x1m, y1m)
 
-    tx = tx[..., None]
-    ty = ty[..., None]
+    # weights in the image dtype: f32 coords must not promote bf16 features
+    # back to f32 under mixed-precision compute
+    tx = tx[..., None].astype(img.dtype)
+    ty = ty[..., None].astype(img.dtype)
     out = (
         v00 * (1 - tx) * (1 - ty)
         + v01 * tx * (1 - ty)
@@ -98,8 +100,8 @@ def bilinear_sample_3d_faces(
     y = coords[..., 1]
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    tx = (x - x0f)[..., None]
-    ty = (y - y0f)[..., None]
+    tx = (x - x0f)[..., None].astype(faces.dtype)
+    ty = (y - y0f)[..., None].astype(faces.dtype)
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
     x1 = jnp.clip(x0 + 1, 0, w - 1)

@@ -92,6 +92,31 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     )
 
 
+def _mixed_precision_apply(encoder):
+    """bf16 network compute over f32 master params (JMP-style policy).
+
+    Params and images are cast to bf16 per apply — every conv/attention
+    matmul runs at the MXU's bf16 rate; poses/near/far stay f32 so the
+    sweep's warp geometry, the depth/softmax islands (costvolume.py), and
+    the adapter math (which receives f32-cast head outputs) keep full
+    precision. The cast's autodiff transpose returns f32 gradients, so the
+    optimizer state and updates are full precision."""
+    def apply(params, image_sphere, image_cubes, extr, near, far, step):
+        p16 = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            params,
+        )
+        return encoder.apply(
+            p16,
+            image_sphere.astype(jnp.bfloat16),
+            image_cubes.astype(jnp.bfloat16),
+            extr, near, far, step,
+        )
+
+    return apply
+
+
 def create_train_state(
     rng: jax.Array,
     encoder_cfg: EncoderConfig,
@@ -130,7 +155,10 @@ def create_train_state(
         opt_state=tx.init(params),
         lpips_params=lpips_params,
         tx=tx,
-        apply_fn=encoder.apply,
+        apply_fn=(
+            _mixed_precision_apply(encoder)
+            if encoder_cfg.bf16_compute else encoder.apply
+        ),
         lpips_apply_fn=lpips.apply,
     )
 

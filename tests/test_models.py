@@ -288,3 +288,35 @@ def test_fusion_variants(fusion):
     n = V * H * W
     assert gaussians.means.shape == (B, n, 3)
     assert np.isfinite(np.asarray(gaussians.means)).all()
+
+
+def test_bf16_compute_parity():
+    """model.bf16_compute trains within tolerance of f32 (mixed precision:
+    bf16 MXU compute, f32 geometry/softmax islands + master params)."""
+    batch = tiny_batch()
+    tcfg = TrainConfig(
+        optimizer=OptimizerConfig(max_steps=100),
+        loss=LossConfig(lpips_weight=0.0, depth_weight=0.1),
+        supervision="cubes", render_backend="jax",
+    )
+    losses = {}
+    for bf16 in (False, True):
+        cfg = tiny_encoder_cfg(bf16_compute=bf16)
+        state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg, batch)
+        step = jax.jit(make_train_step(cfg, tcfg))
+        for _ in range(2):
+            state, m = step(state, batch)
+        losses[bf16] = float(m["loss"])
+        assert np.isfinite(losses[bf16])
+        # gaussians leaving the encoder must be f32 (geometry precision)
+        g, d = state.apply_fn(
+            state.params,
+            jnp.asarray(batch["context"]["image_sphere"]),
+            jnp.zeros((B, V, 6, H // 2, H // 2, 3)),
+            jnp.asarray(batch["context"]["extrinsics_sphere"]),
+            jnp.asarray(batch["context"]["near"]),
+            jnp.asarray(batch["context"]["far"]), 0,
+        )
+        assert g.means.dtype == jnp.float32
+        assert g.covariances.dtype == jnp.float32
+    assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[False]) + 1e-3
