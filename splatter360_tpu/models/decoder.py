@@ -85,6 +85,7 @@ def render_cube_views(
     backend: str = "pallas",
     max_per_tile: int = 2048,
     sequential: bool = False,
+    remat_faces: bool = True,
 ) -> DecoderOutput:
     """Render the 6 cube faces (FRBLUD) of every target view.
 
@@ -127,8 +128,10 @@ def render_cube_views(
         # pallas residuals (packed instance blocks, SH bases — measured
         # 1.5G + 0.77G at hm3d scale) across all 12 iterations; with it the
         # map saves only (c2w, near, far) per face and replays the face
-        # forward during backward (~1 extra decoder forward total)
-        one_r = jax.checkpoint(one)
+        # forward during backward (~1 extra decoder forward total).
+        # remat_faces=False trades that replay time back for the stacked
+        # residual memory when the chip has headroom.
+        one_r = jax.checkpoint(one) if remat_faces else one
 
         def per_item(means, covs, sh, op, c2ws, nr, fr):
             vf = v * 6

@@ -54,6 +54,10 @@ class TrainConfig:
     # are reused across the loop instead of materialized 12x — required to
     # fit the 512x1024 train step in 16 GB (see render_cube_views docstring)
     sequential_faces: bool = True
+    # replay each face's forward in backward instead of stacking its pallas
+    # residuals (render_cube_views docstring); turn off for speed when HBM
+    # has headroom
+    remat_faces: bool = True
     # band-sharded ERP rendering for validation/eval decodes: when the mesh
     # has >1 device, every chip renders a horizontal pixel band of every view
     # (parallel/render_sharding.py — SURVEY.md §7 M6)
@@ -207,6 +211,7 @@ def compute_losses(
             backend=train_cfg.render_backend,
             max_per_tile=train_cfg.max_per_tile,
             sequential=train_cfg.sequential_faces,
+            remat_faces=train_cfg.remat_faces,
         )
         gt_faces = _context_cubes(tgt["image_sphere"], face)
         pred = rendered.color  # [B, Vt, 6, f, f, 3]
