@@ -28,6 +28,14 @@ from .train.state import OptimizerConfig, TrainConfig
 class CheckpointingConfig:
     load: Optional[str] = None             # full resume path
     pretrained_model: Optional[str] = None # weights-only warm start
+    # LOCAL torch checkpoints for the reference recipe's warm starts (zero
+    # egress: download out-of-band). pretrained_backbone: UniMatch gmdepth
+    # .pth grafted into BOTH multiview backbones (reference
+    # encoder_costvolume.py:141-179). pretrained_mono: DINOv2/Depth-Anything
+    # ViT .pth for the frozen mono branch (requires model.add_mono_feat;
+    # reference costvolume.yaml:46-48 + torch.hub load at ref:107-125).
+    pretrained_backbone: Optional[str] = None
+    pretrained_mono: Optional[str] = None
     every_n_train_steps: int = 20_000
     resume: bool = True
     max_to_keep: int = -1
@@ -62,6 +70,13 @@ class TestConfig:
     # model_wrapper_erp.py:471-541) instead of the direct-ERP render. Use for
     # apples-to-apples comparison against published Splatter-360 numbers.
     eval_on_cubes: bool = False
+    # Divide the composited depth by alpha before the depth metrics. The
+    # reference protocol does NOT normalize: its depth render composites z as
+    # a color with no alpha division (cuda_splatting.py:226-269), so the
+    # default (False) matches it exactly. True gives the unbiased depth
+    # estimate; the two agree wherever alpha ~= 1 (saturated scenes) — see
+    # tests/test_evaluator.py::test_depth_alpha_norm_negligible_at_full_alpha.
+    depth_alpha_norm: bool = False
 
 
 @dataclass(frozen=True)

@@ -82,6 +82,25 @@ _GAMMA_VPU = os.environ.get("SPLAT360_GAMMA_VPU", "0") == "1"
 _ABLATE = frozenset(
     x for x in os.environ.get("SPLAT360_BWD_ABLATE", "").split(",") if x
 )
+# Forward-kernel cost-bisection ablations (PERF DEBUGGING ONLY — wrong
+# outputs): "collect" skip the per-lane pack loop, "unpack" skip the g%8
+# select, "residual" skip the built-block write-back, "mxu" zero the prefix
+# matmul, "alpha" skip the alpha/exp math.
+_FWD_ABLATE = frozenset(
+    x for x in os.environ.get("SPLAT360_FWD_ABLATE", "").split(",") if x
+)
+
+
+def _pallas_call(*args, **kwargs):
+    """pl.pallas_call, with env-switchable interpret mode.
+
+    SPLAT360_PALLAS_INTERPRET=1 (read at call time) runs the kernels through
+    the Pallas interpreter — the same path the CPU test suite exercises via
+    monkeypatch — so the multichip dryrun (__graft_entry__.py) can drive the
+    production pallas backend on the virtual CPU mesh."""
+    if os.environ.get("SPLAT360_PALLAS_INTERPRET", "0") == "1":
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
 
 
 def _tile_origin(tid, ntx):
@@ -377,29 +396,40 @@ def _forward_kernel_fused(
             coll[pl.ds(l, 1), :] = attrs_ref[pl.ds(gl, 1), :]
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, collect, 0, unroll=CHUNK)
-        gmod = (gv[slot] & 7).T  # [CHUNK, 1]
-        data_t = jnp.zeros((CHUNK, ROWS), jnp.float32)
-        for b in range(8):
-            data_t = data_t + jnp.where(
-                gmod == b, coll[:, 16 * b : 16 * b + 16], 0.0
-            )
-        data_blk = data_t.T  # [ROWS, CHUNK]
+        if "collect" not in _FWD_ABLATE:
+            jax.lax.fori_loop(0, CHUNK, collect, 0, unroll=CHUNK)
+        if "unpack" in _FWD_ABLATE:
+            data_blk = coll[:, 0:ROWS].T
+        else:
+            gmod = (gv[slot] & 7).T  # [CHUNK, 1]
+            data_t = jnp.zeros((CHUNK, ROWS), jnp.float32)
+            for b in range(8):
+                data_t = data_t + jnp.where(
+                    gmod == b, coll[:, 16 * b : 16 * b + 16], 0.0
+                )
+            data_blk = data_t.T  # [ROWS, CHUNK]
 
         # residual write-back (the backward re-reads built blocks)
-        @pl.when(j >= 2)
-        def _():
-            out_copy(slot, j - 2).wait()
+        if "residual" not in _FWD_ABLATE:
+            @pl.when(j >= 2)
+            def _():
+                out_copy(slot, j - 2).wait()
 
-        stage[slot] = data_blk
-        out_copy(slot, j).start()
+            stage[slot] = data_blk
+            out_copy(slot, j).start()
 
         data = jnp.where(
             _segment_mask(blk0, j, start, count), data_blk, 0.0
         )
-        alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
+        if "alpha" in _FWD_ABLATE:
+            alpha = data[0:1, :] * 1e-9 + jnp.zeros((N_PIX, CHUNK), jnp.float32)
+        else:
+            alpha, *_ = _chunk_alpha(data, px, py, w_img, wrap_x)
         lg = jnp.log1p(-alpha)
-        e = _contract_binary(lg, mup, ((1,), (0,)))
+        if "mxu" in _FWD_ABLATE:
+            e = lg
+        else:
+            e = _contract_binary(lg, mup, ((1,), (0,)))
         t_i = jnp.exp(tacc[:] + e)
         w = jnp.where(t_i * (1.0 - alpha) >= _T_EPS, alpha * t_i, 0.0)
 
@@ -417,13 +447,14 @@ def _forward_kernel_fused(
         gs_copy(jax.lax.rem(n_processed, 2), n_processed).wait()
         gv_copy(jax.lax.rem(n_processed, 2), n_processed).wait()
 
-    @pl.when(n_processed >= 1)
-    def _():
-        out_copy(jax.lax.rem(n_processed - 1, 2), n_processed - 1).wait()
+    if "residual" not in _FWD_ABLATE:
+        @pl.when(n_processed >= 1)
+        def _():
+            out_copy(jax.lax.rem(n_processed - 1, 2), n_processed - 1).wait()
 
-    @pl.when(n_processed >= 2)
-    def _():
-        out_copy(jax.lax.rem(n_processed - 2, 2), n_processed - 2).wait()
+        @pl.when(n_processed >= 2)
+        def _():
+            out_copy(jax.lax.rem(n_processed - 2, 2), n_processed - 2).wait()
 
     planes = jnp.concatenate(
         [racc[:, 0:4], jnp.exp(tacc[:]), tacc[:],
@@ -535,9 +566,15 @@ def _backward_kernel_fused(
             w = jnp.where(contrib, alpha * t_i, 0.0)
 
             cd = data[6:10, :]
-            gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))
+            if "gamma" in _ABLATE:
+                gamma = jnp.zeros((N_PIX, CHUNK), jnp.float32)
+            else:
+                gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))
             psi = w * gamma
-            suffix = _contract_binary(psi, mlow, ((1,), (0,)))
+            if "suffix" in _ABLATE:
+                suffix = jnp.zeros((N_PIX, CHUNK), jnp.float32)
+            else:
+                suffix = _contract_binary(psi, mlow, ((1,), (0,)))
 
             a_psi = apsi_scratch[:]
             g_alpha = t_i * gamma - (suffix + a_psi + gt_term) / (1.0 - alpha)
@@ -577,12 +614,13 @@ def _backward_kernel_fused(
             # (16 * (g%8)), then RMW-accumulate at sublane g//8.
             gs_copy(slot, j).wait()
             gv_copy(slot, j).wait()
-            grad_t = grad.T  # [CHUNK, ROWS]
-            gmod = (gv[slot] & 7).T  # [CHUNK, 1]
-            parts = [
-                jnp.where(gmod == bb, grad_t, 0.0) for bb in range(8)
-            ]
-            stage[:] = jnp.concatenate(parts, axis=1)  # [CHUNK, 128]
+            if "spread" not in _ABLATE:
+                grad_t = grad.T  # [CHUNK, ROWS]
+                gmod = (gv[slot] & 7).T  # [CHUNK, 1]
+                parts = [
+                    jnp.where(gmod == bb, grad_t, 0.0) for bb in range(8)
+                ]
+                stage[:] = jnp.concatenate(parts, axis=1)  # [CHUNK, 128]
 
             def rmw(l, _):
                 gl = gs_smem[slot, 0, l] >> 3
@@ -591,7 +629,8 @@ def _backward_kernel_fused(
                 )
                 return 0
 
-            jax.lax.fori_loop(0, CHUNK, rmw, 0, unroll=CHUNK)
+            if "rmw" not in _ABLATE:
+                jax.lax.fori_loop(0, CHUNK, rmw, 0, unroll=CHUNK)
             apsi_scratch[:] = a_psi + jnp.sum(psi, axis=1, keepdims=True)
 
         # If the gated region was skipped, its gidx DMAs are still in flight:
@@ -961,7 +1000,7 @@ def _composite_core_fwd_impl(inst, starts, counts, nty, ntx, w_img, wrap_x):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    acc = pl.pallas_call(
+    acc = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t * 8, N_PIX), jnp.float32),
@@ -1017,7 +1056,7 @@ def _backward_call(inst, starts, counts, lt_final, nproc, g_acc, nty, ntx,
     # differentiable output — its cotangent slot is overwritten here.)
     combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(lt_final)
     combined = combined.reshape(t * 8, N_PIX)
-    dout = pl.pallas_call(
+    dout = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblk_out, ROWS, CHUNK), jnp.float32),
@@ -1262,7 +1301,7 @@ def _render_fused_fwd(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    acc, inst = pl.pallas_call(
+    acc, inst = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
@@ -1312,7 +1351,7 @@ def _render_fused_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
     )
     combined = g_acc.reshape(t, 8, N_PIX).at[:, 5, :].set(lt_final)
     combined = combined.reshape(t * 8, N_PIX)
-    g_packed = pl.pallas_call(
+    g_packed = _pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nsub, 128), jnp.float32),
@@ -1327,6 +1366,25 @@ def _render_fused_bwd(n, nty, ntx, w_img, wrap_x, res, g_acc):
 _render_core_fused.defvjp(_render_fused_fwd, _render_fused_bwd)
 
 _FUSED_PACK = os.environ.get("SPLAT360_FUSED_PACK", "1") == "1"
+# VMEM budget for the fused kernels' resident packed table ([NSUB, 128] f32,
+# 64*N bytes): the fwd holds the attr table, the bwd the gradient accumulator,
+# each next to ~1.5 MB of scratch under the 112 MB vmem_limit. Beyond the
+# budget (N > ~1.47 M, e.g. 3-view 512x1024 contexts at N = 3*H*W = 1.57 M)
+# the fused path would fail Mosaic VMEM allocation at compile time — fall
+# back to the unfused _render_core, which keeps instance blocks in HBM and
+# streams them (same outputs, ~1.5x slower at the north-star load).
+_FUSED_VMEM_BUDGET = int(
+    os.environ.get("SPLAT360_FUSED_VMEM_BUDGET", str(94 * 1024 * 1024))
+)
+
+
+def _fused_table_bytes(n: int) -> int:
+    """VMEM bytes of the fused kernels' resident [NSUB, 128] f32 table."""
+    return _nsub(n) * 128 * 4
+
+
+def _use_fused(n: int) -> bool:
+    return _FUSED_PACK and _fused_table_bytes(n) <= _FUSED_VMEM_BUDGET
 
 
 def composite_tiles_pallas(
@@ -1338,7 +1396,7 @@ def composite_tiles_pallas(
     h, w = image_shape
     ntx, nty = assignment.num_tiles_x, assignment.num_tiles_y
     n = mean2d.shape[0]
-    if _FUSED_PACK:
+    if _use_fused(n):
         attrs_p = _build_attrs_packed(
             mean2d, conic, colors, opacities, depths, radii
         )

@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..geometry.transforms import inverse_se3
@@ -90,19 +91,38 @@ def _cov2d_scalar(w2c_rot, du, dv, covs):
     return a, b, c
 
 
-def _finalize(u, v, a, b, c, depth, valid, eps2d=0.3, max_radius=None):
+def _finalize(u, v, a, b, c, depth, valid, eps2d=0.3, max_radius=None,
+              opacities=None):
     """Pack scalarized projection results into a Projected tuple.
 
-    max_radius: optional (max_rx, max_ry) caps in pixels."""
+    max_radius: optional (max_rx, max_ry) caps in pixels.
+    opacities: optional [N] — enables EXACT opacity-aware radius tightening.
+      The compositors gate every contribution by alpha = o*exp(power) >= 1/255
+      (ops/pallas/composite.py::_chunk_alpha, composite_jax, rasterizer_ref),
+      so the true footprint is the {power >= -q} ellipse with
+      q = min(4.5, log(255*o)), whose per-axis extents are sqrt(2*q*Sigma_xx/yy)
+      — strictly inside the 3-sigma (q=4.5) box for o < e^4.5/255 ~ 0.353.
+      Culling to the tightened box changes NO output pixel (the alpha gate
+      already zeroes everything outside it) but shrinks instance emission,
+      sort, and live-block counts. The CUDA reference always bins the 3-sigma
+      box (SURVEY.md §2.9); this is a TPU-build improvement, not a departure.
+    """
     mean2d = jnp.stack([u, v], axis=-1)
     a = a + eps2d
     c = c + eps2d
     det = a * c - b * b
     det_safe = jnp.where(det > 1e-12, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
-    # Per-axis 3-sigma marginals = exact x/y extents of the power=-4.5 ellipse.
-    rx = jnp.ceil(3.0 * jnp.sqrt(a))
-    ry = jnp.ceil(3.0 * jnp.sqrt(c))
+    # Per-axis marginals = exact x/y extents of the power=-q cutoff ellipse.
+    if opacities is not None:
+        o = jax.lax.stop_gradient(opacities)
+        q = jnp.clip(jnp.log(255.0 * jnp.maximum(o, 1e-12)), 0.0, 4.5)
+        scale = jnp.sqrt(q / 4.5)
+        valid = valid & (o >= 1.0 / 255.0)
+    else:
+        scale = 1.0
+    rx = jnp.ceil(3.0 * jnp.sqrt(a) * scale)
+    ry = jnp.ceil(3.0 * jnp.sqrt(c) * scale)
     if max_radius is not None:
         rx = jnp.minimum(rx, max_radius[0])
         ry = jnp.minimum(ry, max_radius[1])
@@ -119,10 +139,12 @@ def project_pinhole(
     image_shape: tuple[int, int],
     near: jnp.ndarray | float,
     eps2d: float = 0.3,
+    opacities: jnp.ndarray | None = None,
 ) -> Projected:
     """Project world-space Gaussians through a normalized-intrinsics pinhole camera.
 
     means [N, 3], covs [N, 3, 3], c2w [4, 4], intrinsics [3, 3] normalized.
+    opacities: optional [N], see _finalize (opacity-aware radius tightening).
     """
     h, w = image_shape
     w2c = inverse_se3(c2w)
@@ -152,7 +174,8 @@ def project_pinhole(
     dv = (zero, fy / z_safe, -fy * ty / z_safe)
     a, b, c = _cov2d_scalar(rot, du, dv, covs)
     mr = float(max(h, w))
-    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=(mr, mr))
+    return _finalize(u, v, a, b, c, z, valid, eps2d, max_radius=(mr, mr),
+                     opacities=opacities)
 
 
 def project_ortho(
@@ -201,6 +224,7 @@ def project_erp(
     image_shape: tuple[int, int],
     near: jnp.ndarray | float,
     eps2d: float = 0.3,
+    opacities: jnp.ndarray | None = None,
 ) -> Projected:
     """Project world-space Gaussians directly into an equirectangular image.
 
@@ -250,7 +274,8 @@ def project_erp(
     # identically in every backend so dense/jax/pallas stay bit-comparable.
     max_rx = float(min(h // 2, max(w // 2 - TILE_W // 2 - 1, 8)))
     max_ry = float(h // 2)
-    return _finalize(u, v, a, b, c, r, valid, eps2d, max_radius=(max_rx, max_ry))
+    return _finalize(u, v, a, b, c, r, valid, eps2d, max_radius=(max_rx, max_ry),
+                     opacities=opacities)
 
 
 def sh_colors(

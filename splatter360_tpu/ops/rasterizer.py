@@ -71,23 +71,30 @@ def render_tiled(
     max_per_tile: int = 512,
     instance_cap: Optional[int] = None,
     tier_caps: Optional[tuple[int, ...]] = None,
+    opacity_cull: bool = True,
 ) -> RenderOutput:
     """Render one view. Same contract as render_dense (rasterizer_ref.py).
 
     instance_cap/tier_caps override assign_tiles' emission-tier caps —
     pinhole cube faces see ~1/6 of the Gaussians, so the face renderer passes
-    tighter caps to shrink every cap-proportional downstream cost."""
+    tighter caps to shrink every cap-proportional downstream cost.
+    opacity_cull: tighten binning radii to the exact {alpha >= 1/255}
+    footprint (ops/projection.py::_finalize) — output-identical, fewer
+    instances emitted/sorted/composited."""
     if background is None:
         background = jnp.zeros((3,), means.dtype)
     if sh_degree is None:
         sh_degree = int(math.isqrt(harmonics.shape[-1]) - 1)
 
+    cull_op = opacities if opacity_cull else None
     if camera_kind == "erp":
-        proj = project_erp(means, covariances, c2w, image_shape, near)
+        proj = project_erp(means, covariances, c2w, image_shape, near,
+                           opacities=cull_op)
         wrap_x = True
     elif camera_kind == "pinhole":
         assert intrinsics is not None
-        proj = project_pinhole(means, covariances, c2w, intrinsics, image_shape, near)
+        proj = project_pinhole(means, covariances, c2w, intrinsics, image_shape,
+                               near, opacities=cull_op)
         wrap_x = False
     else:
         raise ValueError(camera_kind)

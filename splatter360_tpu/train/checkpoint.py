@@ -89,20 +89,23 @@ def restore_weights_only(directory: str, state, step: Optional[int] = None):
     return state.replace(params=restored["params"]), True
 
 
-def partial_warm_start(params: Any, donor: Any) -> Any:
+def partial_warm_start(params: Any, donor: Any, report: bool = False) -> Any:
     """Copy donor leaves into params wherever the path + shape match (the reference's
-    key-intersection UniMatch warm start)."""
+    key-intersection UniMatch warm start). report=True also returns the number
+    of replaced leaves (so callers can fail loudly on a 0-match donor)."""
     flat_params = dict(
         jax.tree_util.tree_flatten_with_path(params)[0]
     )
     flat_donor = dict(jax.tree_util.tree_flatten_with_path(donor)[0])
     merged = {}
+    n_matched = 0
     for path, leaf in flat_params.items():
         cand = flat_donor.get(path)
         if cand is not None and getattr(cand, "shape", None) == getattr(
             leaf, "shape", None
         ):
             merged[path] = cand
+            n_matched += 1
         else:
             merged[path] = leaf
     treedef = jax.tree_util.tree_structure(params)
@@ -110,7 +113,60 @@ def partial_warm_start(params: Any, donor: Any) -> Any:
         merged[path]
         for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]
     ]
-    return jax.tree_util.tree_unflatten(treedef, leaves)
+    tree = jax.tree_util.tree_unflatten(treedef, leaves)
+    return (tree, n_matched) if report else tree
+
+
+def warm_start_backbones(params: Any, path: str, num_layers: int = 6):
+    """Reference UniMatch warm start (encoder_costvolume.py:141-179): convert
+    a LOCAL gmdepth torch checkpoint (e.g.
+    gmdepth-scale1-resumeflowthings-scannet) and graft it into BOTH multiview
+    backbones (cube + ERP), key-intersection style. Wired to
+    `checkpointing.pretrained_backbone`. Returns (merged_params, n_leaves)."""
+    from ..utils.torch_convert import (
+        convert_unimatch_backbone, load_torch_state_dict,
+    )
+
+    sd = load_torch_state_dict(path)
+    bb = convert_unimatch_backbone(sd, num_layers=num_layers)
+    donor = {"params": {"backbone_cube": bb, "backbone_erp": bb}}
+    merged, n = partial_warm_start(params, donor, report=True)
+    if n == 0:
+        raise ValueError(
+            f"checkpointing.pretrained_backbone={path!r}: 0 parameter leaves "
+            f"matched the model (wrong checkpoint, or the model has no "
+            f"backbone_cube/backbone_erp modules)"
+        )
+    return merged, n
+
+
+def warm_start_mono(params: Any, path: str):
+    """Reference DINOv2/Depth-Anything mono-branch load
+    (encoder_costvolume.py:107-125 torch.hub): convert a LOCAL ViT torch
+    checkpoint into the frozen `dino` module, resampling pos_embed to the
+    model's token grid. Wired to `checkpointing.pretrained_mono`; requires
+    model.add_mono_feat. Returns (merged_params, n_leaves)."""
+    from ..utils.torch_convert import convert_dinov2, load_torch_state_dict
+
+    dino = params.get("params", {}).get("dino")
+    if dino is None:
+        raise ValueError(
+            "checkpointing.pretrained_mono is set but the model has no "
+            "`dino` module — enable model.add_mono_feat"
+        )
+    n_tok = dino["pos_embed"].shape[1]
+    g = int(round(n_tok ** 0.5))
+    if g * g != n_tok:  # non-square token grids unsupported by the resampler
+        raise ValueError(f"non-square dino token grid ({n_tok} tokens)")
+    sd = load_torch_state_dict(path)
+    donor = {"params": {"dino": convert_dinov2(sd, grid_hw=(g, g))}}
+    merged, n = partial_warm_start(params, donor, report=True)
+    if n == 0:
+        raise ValueError(
+            f"checkpointing.pretrained_mono={path!r}: 0 parameter leaves "
+            f"matched the model's dino module (wrong vit_type?)"
+        )
+    return merged, n
 
 
 def resolve_checkpoint_uri(path: str | None) -> str | None:

@@ -166,9 +166,14 @@ class Evaluator:
                 # come from e2c of the ERP distance map with the distance->z
                 # cosine factor (Equirec2Cube.cosmaps parity).
                 f = self.face
-                pr_d = np.asarray(faces.depth[0]) / np.maximum(
-                    np.asarray(faces.alpha[0]), 1e-6
-                )  # [Vt, 6, f, f] pinhole camera-z
+                # Default: UNNORMALIZED composited z, exactly the reference's
+                # depth render (z composited as a color, no alpha division —
+                # cuda_splatting.py:226-269). test.depth_alpha_norm divides by
+                # alpha for the unbiased estimate; identical where alpha ~= 1.
+                pr_d = np.asarray(faces.depth[0])
+                if cfg.test.depth_alpha_norm:
+                    pr_d = pr_d / np.maximum(np.asarray(faces.alpha[0]), 1e-6)
+                pr_d = pr_d.astype(np.float32)  # [Vt, 6, f, f] pinhole camera-z
                 gt_d = np.asarray(
                     jax.vmap(
                         lambda d: erp_to_cube(d, f, depth_to_z=True)
@@ -183,9 +188,9 @@ class Evaluator:
                 entry.update({f"depth_{k}": float(v) for k, v in dm.items()})
             elif cfg.test.eval_depth and out.depth is not None:
                 gt_d = np.asarray(tgt["depth_sphere"][0])
-                pr_d = np.asarray(out.depth[0]) / np.maximum(
-                    np.asarray(out.alpha[0]), 1e-6
-                )
+                pr_d = np.asarray(out.depth[0])
+                if cfg.test.depth_alpha_norm:
+                    pr_d = pr_d / np.maximum(np.asarray(out.alpha[0]), 1e-6)
                 mask = gt_d > 0.1
                 dm = compute_depth_metrics(
                     jnp.asarray(gt_d), jnp.asarray(pr_d), jnp.asarray(mask)

@@ -276,6 +276,25 @@ class Trainer:
             if ok:
                 state = state.replace(params=donor_state.params)
                 print("warm-started weights from pretrained_model")
+        # reference-recipe torch warm starts (UniMatch backbones + DINO mono)
+        if cfg.checkpointing.pretrained_backbone and int(state.step) == 0:
+            params, n = ckpt.warm_start_backbones(
+                state.params,
+                ckpt.resolve_checkpoint_uri(
+                    cfg.checkpointing.pretrained_backbone
+                ),
+            )
+            state = state.replace(params=params)
+            print(f"warm-started both backbones from pretrained_backbone "
+                  f"({n} leaves)")
+        if cfg.checkpointing.pretrained_mono and int(state.step) == 0:
+            params, n = ckpt.warm_start_mono(
+                state.params,
+                ckpt.resolve_checkpoint_uri(cfg.checkpointing.pretrained_mono),
+            )
+            state = state.replace(params=params)
+            print(f"warm-started the mono branch from pretrained_mono "
+                  f"({n} leaves)")
 
         rs = replicated_sharding(self.mesh)
         ds = data_sharding(self.mesh)

@@ -43,9 +43,14 @@ def _sanitize_vec(x, dim: int, n: Optional[int] = None) -> np.ndarray:
 
 
 def _world_to_pixel(shape, x_range, y_range):
-    """Map world xy -> pixel xy preserving aspect, like the reference's
-    generate_conversions (drawing/coordinate_conversion.py): the world range
-    is fit inside the image and centered along the looser axis."""
+    """Map world xy -> pixel xy, preserving aspect.
+
+    Deliberate departure from the reference: generate_conversions
+    (drawing/coordinate_conversion.py:34-37) stretches x and y independently,
+    so non-square ranges distort shapes. Here the world range is fit inside
+    the image with ONE scale and centered along the looser axis, so circles
+    stay circles. Identical whenever x_range/y_range spans match the image
+    aspect (always true for draw_cameras, whose ranges are square)."""
     h, w = shape
     if x_range is None:
         x_range = (0.0, float(w))
@@ -78,6 +83,8 @@ def _composite(image: np.ndarray, dist: np.ndarray, colors: np.ndarray,
     nearest-in-SDF primitive (the reference picks the highest-index covering
     line — drawing/lines.py:73-78; nearest is symmetric and looks identical
     for non-overlapping strokes)."""
+    if dist.shape[0] == 0:  # no primitives: image unchanged
+        return image
     cover = np.clip(halfwidth[:, None, None] + 0.5 - dist, 0.0, 1.0)  # [P,h,w]
     alpha = cover.max(axis=0)
     winner = (dist - halfwidth[:, None, None]).argmin(axis=0)
@@ -100,11 +107,14 @@ def draw_lines(
     h, w = image.shape[:2]
     start = _sanitize_vec(start, 2)
     end = _sanitize_vec(end, 2)
-    n = max(start.shape[0], end.shape[0])
+    color = _sanitize_vec(color, 3)
+    width = np.asarray(width, np.float32).reshape(-1)
+    # broadcast count spans ALL per-line arguments (reference lines.py:29-34)
+    n = max(start.shape[0], end.shape[0], color.shape[0], width.shape[0])
     start = _sanitize_vec(start, 2, n)
     end = _sanitize_vec(end, 2, n)
     color = _sanitize_vec(color, 3, n)
-    width = np.broadcast_to(np.asarray(width, np.float32).reshape(-1), (n,))
+    width = np.broadcast_to(width, (n,))
 
     conv = _world_to_pixel((h, w), x_range, y_range)
     start, end = conv(start), conv(end)

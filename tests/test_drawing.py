@@ -23,11 +23,47 @@ def test_draw_lines_covers_segment():
     assert out.min() >= 0.0 and out.max() <= 1.0
 
 
-def test_draw_lines_butt_cap_stops_at_end():
+def test_draw_points_disc():
     img = np.zeros((16, 32, 3), np.float32)
     out = draw_points(img, [[16, 8]], [[0.0, 1.0, 0.0]], radius=3)
     assert out[8, 16, 1] > 0.9
     assert np.all(out[:, 28:, :] == 0.0)
+
+
+def test_draw_lines_cap_behavior():
+    # horizontal segment from x=10 to x=22 at y=8, width 4 (halfwidth 2)
+    img = np.zeros((16, 32, 3), np.float32)
+    args = ([[10, 8]], [[22, 8]], [[1.0, 1.0, 1.0]])
+    butt = draw_lines(img, *args, width=4, cap="butt")
+    square = draw_lines(img, *args, width=4, cap="square")
+    rnd = draw_lines(img, *args, width=4, cap="round")
+    # butt stops AT the endpoint: pixel center x=23.5 is 1.5 px past the end,
+    # outside the t-range, so untouched; round/square still cover it.
+    assert butt[8, 23, 0] == 0.0
+    assert rnd[8, 23, 0] > 0.5 and square[8, 23, 0] > 0.5
+    # square extends past round at the cap CORNER (x past end, y off-axis):
+    # round's radial distance exceeds halfwidth where square still covers.
+    assert square[9, 23, 0] > rnd[9, 23, 0]
+    # all caps agree mid-segment
+    assert butt[8, 16, 0] > 0.9 and rnd[8, 16, 0] > 0.9
+
+
+def test_draw_lines_broadcasts_from_colors():
+    # one segment, two colors -> two lines (reference lines.py:29-34)
+    img = np.zeros((16, 32, 3), np.float32)
+    out = draw_lines(img, [[4, 8]], [[28, 8]],
+                     [[1.0, 0.0, 0.0], [1.0, 0.0, 0.0]], width=2)
+    assert out[8, 16, 0] > 0.9
+
+
+def test_draw_empty_inputs_noop():
+    img = np.full((8, 8, 3), 0.5, np.float32)
+    out = draw_lines(img, np.zeros((0, 2)), np.zeros((0, 2)),
+                     np.zeros((0, 3)), width=np.zeros((0,)))
+    assert np.array_equal(out, img)
+    out = draw_points(img, np.zeros((0, 2)), np.zeros((0, 3)),
+                      radius=np.zeros((0,)))
+    assert np.array_equal(out, img)
 
 
 def test_aabb_margin_is_cubical():

@@ -337,3 +337,48 @@ def test_sequential_faces_match_vmap(scene):
     np.testing.assert_allclose(
         np.asarray(g_s), np.asarray(g_v), rtol=1e-5, atol=1e-4
     )
+
+
+def test_opacity_cull_exact_low_opacity():
+    """Opacity-aware radius tightening (ops/projection.py::_finalize) must be
+    output- AND gradient-exact: the tightened box only excludes pixels the
+    alpha >= 1/255 gate already zeroes. Stress with low opacities (heavy
+    tightening, some below 1/255 -> culled entirely). The CUDA reference
+    always bins the full 3-sigma box (SURVEY.md §2.9); this is a TPU-build
+    emission-count optimization that must never change a pixel."""
+    g = random_gaussians(jax.random.PRNGKey(7), 300, sh_degree=2)
+    op = jnp.concatenate([
+        jax.random.uniform(jax.random.PRNGKey(8), (250,), minval=2e-3,
+                           maxval=0.4),
+        jnp.full((50,), 1.0 / 300.0),  # below the 1/255 gate -> culled
+    ])
+    c2w = jnp.eye(4)
+
+    def run(opacity_cull, means, covs, sh, o):
+        return render_tiled(
+            means, covs, sh, o, c2w, (H, W), camera_kind="erp",
+            backend="jax", max_per_tile=256, render_depth=True,
+            opacity_cull=opacity_cull,
+        )
+
+    out_cull = run(True, g["means"], g["covariances"], g["harmonics"], op)
+    out_full = run(False, g["means"], g["covariances"], g["harmonics"], op)
+    np.testing.assert_allclose(
+        np.asarray(out_cull.color), np.asarray(out_full.color), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_cull.alpha), np.asarray(out_full.alpha), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_cull.depth), np.asarray(out_full.depth), atol=1e-5)
+
+    def loss(opacity_cull, means, covs, sh, o):
+        out = run(opacity_cull, means, covs, sh, o)
+        return jnp.mean(out.color ** 2) + 0.1 * jnp.mean(out.alpha)
+
+    args = (g["means"], g["covariances"], g["harmonics"], op)
+    g_cull = jax.grad(functools.partial(loss, True), argnums=(0, 1, 2, 3))(*args)
+    g_full = jax.grad(functools.partial(loss, False), argnums=(0, 1, 2, 3))(*args)
+    for a, b, name in zip(g_full, g_cull, ["means", "covs", "sh", "opac"]):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-12
+        np.testing.assert_allclose(b / scale, a / scale, atol=1e-6,
+                                   err_msg=name)

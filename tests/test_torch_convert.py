@@ -190,3 +190,72 @@ def test_dinov2_conversion_tolerates_real_extra_keys():
     converted = convert_dinov2(sd, grid_hw=(2, 2))
     assert "cls_token" not in converted
     assert converted["pos_embed"].shape == (1, 4, 64)
+
+
+def test_warm_start_backbones_end_to_end(tmp_path):
+    """Config-path warm start: a REAL torch .pth file on disk -> converted ->
+    grafted into BOTH encoder backbones (checkpointing.pretrained_backbone
+    wiring; reference encoder_costvolume.py:141-179 loads the same UniMatch
+    weights into backbone and backbone_erp)."""
+    torch = pytest.importorskip("torch")
+    from splatter360_tpu.models.encoder import (
+        EncoderConfig, EncoderCostVolume360,
+    )
+    from splatter360_tpu.models.adapter import GaussianAdapterConfig
+    from splatter360_tpu.train.checkpoint import warm_start_backbones
+
+    c = 32
+    sd = {k: torch.from_numpy(np.asarray(v))
+          for k, v in _fake_unimatch_sd(c, layers=6).items()}
+    path = tmp_path / "gmdepth.pth"
+    torch.save({"model": sd}, path)
+
+    cfg = EncoderConfig(
+        d_feature=c, num_depth_candidates=8, downscale_factor=8,
+        costvolume_unet_feat_dim=16, costvolume_unet_channel_mult=(1, 1),
+        costvolume_unet_attn_res=(2,), depth_unet_feat_dim=8,
+        depth_unet_attn_res=(8,), depth_unet_channel_mult=(1, 1, 1),
+        gaussian_adapter=GaussianAdapterConfig(sh_degree=1),
+    )
+    enc = EncoderCostVolume360(cfg)
+    h, w, b, v = 32, 64, 1, 2
+    img = jnp.zeros((b, v, h, w, 3))
+    cubes = jnp.zeros((b, v, 6, h // 2, h // 2, 3))
+    ext = jnp.tile(jnp.eye(4), (b, v, 1, 1))
+    near = jnp.full((b, v), 0.1)
+    far = jnp.full((b, v), 10.0)
+    params = enc.init(jax.random.PRNGKey(0), img, cubes, ext, near, far, 0)
+
+    merged, n = warm_start_backbones(params, str(path))
+    assert n > 0
+    # both backbones carry the SAME donor stem conv now
+    want = _fake_unimatch_sd(c)["backbone.conv1.weight"].transpose(2, 3, 1, 0)
+    for bb in ("backbone_cube", "backbone_erp"):
+        got = np.asarray(merged["params"][bb]["CNNEncoder_0"]["Conv_0"]["kernel"])
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # a 0-match donor fails loudly
+    with pytest.raises(ValueError, match="0 parameter leaves"):
+        warm_start_backbones({"params": {}}, str(path))
+
+
+def test_warm_start_mono_end_to_end(tmp_path):
+    """checkpointing.pretrained_mono wiring: torch ViT .pth -> frozen dino
+    module, pos_embed resampled to the model's token grid."""
+    torch = pytest.importorskip("torch")
+    import splatter360_tpu.models.dino as dino_mod
+    from splatter360_tpu.train.checkpoint import warm_start_mono
+
+    dino_mod.VIT_DIMS["test"] = (64, 1, 2)
+    model = DinoViT(vit_type="test")
+    x = jnp.zeros((1, 28, 28, 3))
+    inner = model.init(jax.random.PRNGKey(0), x)
+    params = {"params": {"dino": inner["params"]}}
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in _fake_dino_sd().items()}
+    path = tmp_path / "dinov2_vits14.pth"
+    torch.save(sd, path)
+    merged, n = warm_start_mono(params, str(path))
+    assert n > 0
+    assert np.asarray(merged["params"]["dino"]["pos_embed"]).shape == (1, 4, 64)
+    with pytest.raises(ValueError, match="add_mono_feat"):
+        warm_start_mono({"params": {}}, str(path))
