@@ -47,10 +47,17 @@ def main():
         backend = "pallas"
         max_per_tile = 0  # unused by pallas backend
 
+    from splatter360_tpu.geometry.transforms import cov_as_sym6
+
     g = random_gaussians(
         jax.random.PRNGKey(0), n, sh_degree=sh_degree,
         radius_range=(0.5, 8.0), scale_range=(0.004, 0.03),
     )
+    # sym6 covariances: the PRODUCTION gradient layout (the model adapter
+    # emits sym6 precisely because a [N, 3, 3] leaf pays a (3,3)->(8,128)
+    # tiling tax on HBM — BASELINE.md padding note). Benchmarking the
+    # [N, 3, 3] cotangent would measure a path the train step never runs.
+    g["covariances"] = cov_as_sym6(g["covariances"])
     c2w = jnp.eye(4)
 
     def loss_fn(means, covs, sh, op):

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 sys.path.insert(0, ".")
 
 from splatter360_tpu.data.synthetic import random_gaussians
+from splatter360_tpu.geometry.transforms import cov_as_sym6
 from splatter360_tpu.ops import projection as P
 from splatter360_tpu.ops.tiling import assign_tiles, num_tiles
 from splatter360_tpu.ops.pallas import composite as C
@@ -69,7 +70,8 @@ def main():
         radius_range=(0.5, 8.0), scale_range=(0.004, 0.03),
     )
     means, covs, sh, op = (
-        g["means"], g["covariances"], g["harmonics"], g["opacities"])
+        g["means"], cov_as_sym6(g["covariances"]), g["harmonics"],
+        g["opacities"])  # sym6: the production gradient layout (bench.py note)
     c2w = jnp.eye(4)
     nty, ntx = num_tiles((H, W))
     t = nty * ntx

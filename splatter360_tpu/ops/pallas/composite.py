@@ -164,6 +164,37 @@ def _contract_binary(x, m, axes):
     return _contract(hi, m, axes, d) + _contract(lo, m, axes, d)
 
 
+def _split3_exact(x):
+    """EXACT 3-term bf16 decomposition: x == hi + mid + lo, every term
+    bf16-representable (f32's 24 mantissa bits split 8+8+8 across disjoint
+    exponent ranges), so the sum reconstructs x bit-exactly in f32."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    r = x - hi
+    mid = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, mid, r - mid
+
+
+def _transpose_mxu(x):
+    """Bit-exact [a, b] -> [b, a] transpose on the MXU.
+
+    A sublane<->lane transpose lowers to a Mosaic relayout whose shuffle
+    sequence measures ~0.85 us/block in the fused kernels (bisect: the fwd
+    unpack + bwd spread ablations). As a matmul against the identity each
+    output receives exactly ONE product per pass (no accumulation rounding),
+    and the 3-term bf16 split is exact for f32 (_split3_exact) — so three
+    DEFAULT MXU passes of a tiny [b, a] x [a, a] contraction reproduce the
+    transpose bit-exactly at MXU rate."""
+    a = x.shape[0]
+    r = jax.lax.broadcasted_iota(jnp.int32, (a, a), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (a, a), 1)
+    ident = (r == c).astype(jnp.float32)
+    d = jax.lax.Precision.DEFAULT
+    hi, mid, lo = _split3_exact(x)
+    y = _contract(hi, ident, ((0,), (0,)), d)
+    y = y + _contract(mid, ident, ((0,), (0,)), d)
+    return y + _contract(lo, ident, ((0,), (0,)), d)
+
+
 def _contract_split3(a, b, axes):
     """a . b via a two-sided bf16 split, the negligible lo*lo term dropped.
 
@@ -181,6 +212,22 @@ def _contract_split3(a, b, axes):
         + _contract(a_hi, b_lo, axes, d)
         + _contract(a_lo, b_hi, axes, d)
     )
+
+
+def _contract_split3_fusedk(a, b):
+    """_contract_split3 for a SMALL-K contraction (a [K, M] . b [K, N] over
+    dim 0), issued as ONE MXU pass with the three split terms stacked along
+    K (3K total) — same MACs, same summands (f32 accumulate), a third of the
+    per-pass issue latency. Only worthwhile when K is small enough that the
+    stacking copies are trivial (e.g. the backward's K=4 gamma term)."""
+    d = jax.lax.Precision.DEFAULT
+    if _PRECISION == d:
+        return _contract(a, b, ((0,), (0,)))
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    a3 = jnp.concatenate([a_hi, a_hi, a_lo], axis=0)
+    b3 = jnp.concatenate([b_hi, b_lo, b_hi], axis=0)
+    return _contract(a3, b3, ((0,), (0,)), d)
 
 
 def _chunk_alpha(data, px, py, w_img, wrap_x):
@@ -401,13 +448,16 @@ def _forward_kernel_fused(
         if "unpack" in _FWD_ABLATE:
             data_blk = coll[:, 0:ROWS].T
         else:
-            gmod = (gv[slot] & 7).T  # [CHUNK, 1]
-            data_t = jnp.zeros((CHUNK, ROWS), jnp.float32)
+            # Transpose FIRST (bit-exact MXU transpose, not a Mosaic
+            # relayout), then unpack with [1, CHUNK] lane-mask selects that
+            # broadcast over sublanes — no [CHUNK, 1] gmod relayout either.
+            coll_t = _transpose_mxu(coll[:])  # [128, CHUNK]
+            gmod = gv[slot] & 7  # [1, CHUNK]
+            data_blk = jnp.zeros((ROWS, CHUNK), jnp.float32)
             for b in range(8):
-                data_t = data_t + jnp.where(
-                    gmod == b, coll[:, 16 * b : 16 * b + 16], 0.0
+                data_blk = data_blk + jnp.where(
+                    gmod == b, coll_t[16 * b : 16 * b + 16, :], 0.0
                 )
-            data_blk = data_t.T  # [ROWS, CHUNK]
 
         # residual write-back (the backward re-reads built blocks)
         if "residual" not in _FWD_ABLATE:
@@ -569,7 +619,7 @@ def _backward_kernel_fused(
             if "gamma" in _ABLATE:
                 gamma = jnp.zeros((N_PIX, CHUNK), jnp.float32)
             else:
-                gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))
+                gamma = _contract_split3_fusedk(g_rgbd, cd)
             psi = w * gamma
             if "suffix" in _ABLATE:
                 suffix = jnp.zeros((N_PIX, CHUNK), jnp.float32)
@@ -615,12 +665,17 @@ def _backward_kernel_fused(
             gs_copy(slot, j).wait()
             gv_copy(slot, j).wait()
             if "spread" not in _ABLATE:
-                grad_t = grad.T  # [CHUNK, ROWS]
-                gmod = (gv[slot] & 7).T  # [CHUNK, 1]
+                # Build the spread in the grad's native [ROWS-major] layout
+                # with [1, CHUNK] lane-mask selects, then ONE bit-exact MXU
+                # transpose to [CHUNK, 128] (replaces the measured-hot
+                # Mosaic relayout of grad.T + the [CHUNK, 1] gmod relayout).
+                gmod = gv[slot] & 7  # [1, CHUNK]
                 parts = [
-                    jnp.where(gmod == bb, grad_t, 0.0) for bb in range(8)
+                    jnp.where(gmod == bb, grad, 0.0) for bb in range(8)
                 ]
-                stage[:] = jnp.concatenate(parts, axis=1)  # [CHUNK, 128]
+                stage[:] = _transpose_mxu(
+                    jnp.concatenate(parts, axis=0)  # [128, CHUNK]
+                )
 
             def rmw(l, _):
                 gl = gs_smem[slot, 0, l] >> 3
@@ -754,7 +809,7 @@ def _backward_kernel(
                     + g_rgbd_t[:, 3:4] * cd[3:4, :]
                 )  # [N_PIX, CHUNK]
             else:
-                gamma = _contract_split3(g_rgbd, cd, ((0,), (0,)))  # [N_PIX, CHUNK]
+                gamma = _contract_split3_fusedk(g_rgbd, cd)  # [N_PIX, CHUNK]
             psi = w * gamma
             # suffix[p, k] = sum_{j>k} psi[p, j]  (psi @ strict_lower, MXU)
             if "suffix" in _ABLATE:

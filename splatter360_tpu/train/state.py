@@ -62,6 +62,12 @@ class TrainConfig:
     # has >1 device, every chip renders a horizontal pixel band of every view
     # (parallel/render_sharding.py — SURVEY.md §7 M6)
     shard_render: bool = False
+    # TRAINING-path face sharding: split each example's v*6 supervision
+    # cube-face renders over a (data, face) mesh so global batch < device
+    # count no longer idles chips (render_cube_views_face_sharded; gradients
+    # proven == unsharded on the virtual mesh). Requires supervision="cubes"
+    # and a mesh passed to make_train_step.
+    shard_faces: bool = False
 
 
 class TrainState(struct.PyTreeNode):
@@ -182,6 +188,7 @@ def compute_losses(
     step: jnp.ndarray,
     encoder_cfg: EncoderConfig,
     train_cfg: TrainConfig,
+    mesh=None,
 ):
     ctx, tgt = batch["context"], batch["target"]
     b, v_t = tgt["image_sphere"].shape[0], tgt["image_sphere"].shape[1]
@@ -202,17 +209,38 @@ def compute_losses(
     metrics = {}
     lcfg = train_cfg.loss
     if train_cfg.supervision == "cubes":
-        rendered = render_cube_views(
-            gaussians,
-            tgt["extrinsics_sphere"],
-            tgt["near"],
-            tgt["far"],
-            (face, face),
-            backend=train_cfg.render_backend,
-            max_per_tile=train_cfg.max_per_tile,
-            sequential=train_cfg.sequential_faces,
-            remat_faces=train_cfg.remat_faces,
+        use_face_shard = (
+            train_cfg.shard_faces
+            and mesh is not None
+            and mesh.shape.get("face", 1) > 1
         )
+        if use_face_shard:
+            from ..parallel.render_sharding import (
+                render_cube_views_face_sharded,
+            )
+
+            rendered = render_cube_views_face_sharded(
+                gaussians,
+                tgt["extrinsics_sphere"],
+                tgt["near"],
+                tgt["far"],
+                (face, face),
+                mesh,
+                backend=train_cfg.render_backend,
+                max_per_tile=train_cfg.max_per_tile,
+            )
+        else:
+            rendered = render_cube_views(
+                gaussians,
+                tgt["extrinsics_sphere"],
+                tgt["near"],
+                tgt["far"],
+                (face, face),
+                backend=train_cfg.render_backend,
+                max_per_tile=train_cfg.max_per_tile,
+                sequential=train_cfg.sequential_faces,
+                remat_faces=train_cfg.remat_faces,
+            )
         gt_faces = _context_cubes(tgt["image_sphere"], face)
         pred = rendered.color  # [B, Vt, 6, f, f, 3]
         loss_mse = mse_loss(pred, gt_faces)
@@ -268,11 +296,15 @@ def compute_losses(
     return total, metrics
 
 
-def make_train_step(encoder_cfg: EncoderConfig, train_cfg: TrainConfig):
+def make_train_step(encoder_cfg: EncoderConfig, train_cfg: TrainConfig,
+                    mesh=None):
+    """mesh: required (with a `face` axis) for train_cfg.shard_faces; the
+    DP-only step needs none."""
     def train_step(state: TrainState, batch: dict):
         def loss_fn(params):
             return compute_losses(
-                state, params, batch, state.step, encoder_cfg, train_cfg
+                state, params, batch, state.step, encoder_cfg, train_cfg,
+                mesh=mesh,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(

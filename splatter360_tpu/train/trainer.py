@@ -220,12 +220,27 @@ class Trainer:
         if self.is_main:
             self.out.mkdir(parents=True, exist_ok=True)
         self.step_tracker = StepTracker()
-        mesh_size = data_mesh_size(cfg.trainer.batch_size, len(jax.devices()))
-        self.mesh = create_mesh(mesh_size)
-        print(
-            f"data mesh: {mesh_size} device(s), "
-            f"process {self.process_index}/{jax.process_count()}"
-        )
+        n_dev = len(jax.devices())
+        if cfg.train.shard_faces and cfg.train.supervision == "cubes":
+            from ..parallel.mesh import create_mesh_2d, face_mesh_split
+
+            # v*6 supervision faces per example; v from the view sampler
+            n_faces = 6 * cfg.dataset.view_sampler.num_target_views
+            n_data, n_face = face_mesh_split(
+                cfg.trainer.batch_size, n_faces, n_dev
+            )
+            self.mesh = create_mesh_2d(n_data, n_face)
+            print(
+                f"(data, face) mesh: {n_data}x{n_face} devices, "
+                f"process {self.process_index}/{jax.process_count()}"
+            )
+        else:
+            mesh_size = data_mesh_size(cfg.trainer.batch_size, n_dev)
+            self.mesh = create_mesh(mesh_size)
+            print(
+                f"data mesh: {mesh_size} device(s), "
+                f"process {self.process_index}/{jax.process_count()}"
+            )
         self.writer = None
         if self.is_main:
             try:
@@ -300,7 +315,7 @@ class Trainer:
         ds = data_sharding(self.mesh)
         state = jax.device_put(state, rs)
         step_fn = jax.jit(
-            make_train_step(cfg.model, cfg.train),
+            make_train_step(cfg.model, cfg.train, mesh=self.mesh),
             donate_argnums=(0,),
         )
 

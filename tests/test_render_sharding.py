@@ -138,3 +138,62 @@ def test_render_erp_views_sharded_wrapper(scene):
     np.testing.assert_allclose(
         np.asarray(out.depth), np.asarray(ref.depth), atol=1e-4
     )
+
+
+def test_face_sharded_cube_views_match_and_grads(scene):
+    """train.shard_faces path: render_cube_views_face_sharded on a
+    (data=2, face=2) mesh must match the unsharded sequential decoder in
+    outputs AND gaussian gradients (shard_map transpose psums the replicated
+    gaussian cotangents over the face axis)."""
+    from splatter360_tpu.models.decoder import render_cube_views
+    from splatter360_tpu.models.types import Gaussians
+    from splatter360_tpu.parallel.mesh import create_mesh_2d, face_mesh_split
+    from splatter360_tpu.parallel.render_sharding import (
+        render_cube_views_face_sharded,
+    )
+
+    b, v, face = 2, 2, 32
+    n_data, n_face = face_mesh_split(b, 6 * v, 4)
+    assert (n_data, n_face) == (2, 2)
+    mesh = create_mesh_2d(n_data, n_face)
+
+    m, c, s, o = (scene["means"], scene["covariances"], scene["harmonics"],
+                  scene["opacities"])
+    reps = lambda x: jnp.stack([x, x * 0.95 + 0.01])  # two distinct examples
+    g = Gaussians(means=reps(m), covariances=reps(c), harmonics=reps(s),
+                  opacities=jnp.stack([o, jnp.clip(o * 0.9, 0, 1)]))
+    extr = jnp.broadcast_to(jnp.eye(4), (b, v, 4, 4))
+    extr = extr.at[:, 1, :3, 3].set(jnp.array([0.2, 0.0, -0.1]))
+    near = jnp.full((b, v), 0.1)
+    far = jnp.full((b, v), 100.0)
+
+    kw = dict(backend="jax", max_per_tile=512, render_depth=True)
+    ref = render_cube_views(g, extr, near, far, (face, face),
+                            sequential=True, remat_faces=True, **kw)
+    out = jax.jit(lambda gg: render_cube_views_face_sharded(
+        gg, extr, near, far, (face, face), mesh, **kw))(g)
+    assert out.color.shape == ref.color.shape == (b, v, 6, face, face, 3)
+    np.testing.assert_allclose(np.asarray(out.color), np.asarray(ref.color),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.alpha), np.asarray(ref.alpha),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.depth), np.asarray(ref.depth),
+                               atol=1e-4)
+
+    def loss_ref(gg):
+        r = render_cube_views(gg, extr, near, far, (face, face),
+                              sequential=True, remat_faces=True, **kw)
+        return jnp.mean(r.color ** 2) + 0.1 * jnp.mean(r.alpha)
+
+    def loss_sh(gg):
+        r = render_cube_views_face_sharded(gg, extr, near, far,
+                                           (face, face), mesh, **kw)
+        return jnp.mean(r.color ** 2) + 0.1 * jnp.mean(r.alpha)
+
+    g_ref = jax.grad(loss_ref)(g)
+    g_sh = jax.jit(jax.grad(loss_sh))(g)
+    for a, b_, name in zip(g_sh, g_ref, Gaussians._fields):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        scale = np.abs(b_).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b_ / scale, atol=1e-5,
+                                   err_msg=f"grad mismatch: {name}")
