@@ -107,6 +107,33 @@ def convert_reference_scene(scene_dir: str, root: str, split: str, scene: str):
     save_scene(root, split, scene, np.stack(rgbs), np.stack(depths), poses)
 
 
+def export_reference_layout(root, split: str, scene: str, out_dir: str):
+    """Write one of OUR stored scenes back out in the reference generator's
+    exact on-disk layout (pano/%05d.png, pano_depth/%05d.png uint16 mm,
+    rotation.npy, translation.npy — /root/reference/preprocess/
+    dataset_generation output, SURVEY.md §3.4). Used by the reference-format
+    pipeline artifact (scripts/pipeline_reference_format.py) to drive
+    convert_reference_scene over the same bytes real HM3D data would have."""
+    import cv2
+
+    data = load_scene(root, split, scene)
+    out = Path(out_dir)
+    (out / "pano").mkdir(parents=True, exist_ok=True)
+    (out / "pano_depth").mkdir(exist_ok=True)
+    rgb = data["rgb"]
+    # rint, not truncation: depth_m is mm/1000, and 4.999 m * 1000 can land
+    # at 4999.9999 in f32 — astype alone would drop a whole millimetre
+    depth_mm = np.clip(
+        np.rint(data["depth_m"] * 1000.0), 0, 65535
+    ).astype(np.uint16)
+    for i in range(rgb.shape[0]):
+        cv2.imwrite(str(out / "pano" / f"{i:05d}.png"),
+                    cv2.cvtColor(rgb[i], cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(out / "pano_depth" / f"{i:05d}.png"), depth_mm[i])
+    np.save(out / "rotation.npy", data["poses"][:, :3, :3])
+    np.save(out / "translation.npy", data["poses"][:, :3, 3])
+
+
 def write_synthetic_scene(
     root,
     split: str = "train",
