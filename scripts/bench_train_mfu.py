@@ -46,16 +46,22 @@ from splatter360_tpu.train.state import (  # noqa: E402
 V5E_BF16_PEAK = 197e12
 
 
-def timed(fn, *args, iters=5, warmup=1):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def queue_timed(fn, x0, scalar_of, iters=4):
+    """Time a jitted fn by queueing `iters` async dispatches and closing the
+    measurement with ONE concrete scalar readback (float() of a device
+    value — a real transfer the axon tunnel cannot fake, unlike
+    block_until_ready, which can return early; BASELINE.md measurement
+    note). The single TPU core executes dispatches in order, so when the
+    LAST output's scalar arrives, all iters have finished. Each dispatch
+    feeds the previous output back in, so nothing can be cached away."""
+    x = fn(x0)                      # compile + warmup
+    float(scalar_of(x))
     t0 = time.perf_counter()
+    x = x0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters * 1e3, out
+        x = fn(x)
+    float(scalar_of(x))
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
@@ -68,42 +74,62 @@ def main():
     state = create_train_state(
         jax.random.PRNGKey(0), cfg.model, cfg.train, batch)
 
-    # full step + cost analysis
-    step = jax.jit(make_train_step(cfg.model, cfg.train))
-    lowered = step.lower(state, batch)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
+    # full step: cost analysis, then state-chained timing with donation
+    # (queued undonated steps OOM the 16 GB chip; the state dependency
+    # chain also defeats the tunnel's unreliable per-dispatch sync)
+    step = jax.jit(make_train_step(cfg.model, cfg.train),
+                   donate_argnums=(0,))
+    ca = step.lower(state, batch).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, list) else ca
     flops = float(ca.get("flops", 0.0))
 
     t0 = time.perf_counter()
-    new_state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss"])
+    state, metrics = step(state, batch)
+    loss_now = float(metrics["loss"])  # concrete readback, not block_until
     print(f"first step {time.perf_counter() - t0:.1f}s "
-          f"loss={float(metrics['loss']):.4f}", file=sys.stderr)
-    step_ms, _ = timed(lambda: step(state, batch), iters=5)
+          f"loss={loss_now:.4f}", file=sys.stderr)
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    loss_now = float(metrics["loss"])
+    step_ms = (time.perf_counter() - t0) / iters * 1e3
+    eps = jnp.float32(1e-45)
 
-    # encoder forward
+    # encoder forward (chained through the context images)
     ctx = jax.tree_util.tree_map(jnp.asarray, batch["context"])
     cubes = _context_cubes(ctx["image_sphere"], face)
-    enc_fwd = jax.jit(lambda p: state.apply_fn(
-        p, ctx["image_sphere"], cubes, ctx["extrinsics_sphere"],
-        ctx["near"], ctx["far"], 0))
-    encoder_ms, (gaussians, _) = timed(lambda: enc_fwd(state.params))
+    params = state.params
+
+    def enc_apply(img):
+        return state.apply_fn(
+            params, img, cubes, ctx["extrinsics_sphere"],
+            ctx["near"], ctx["far"], 0)
+
+    @jax.jit
+    def b_enc(img):
+        g, _ = enc_apply(img)
+        return img + g.means[0, 0, 0] * eps
+
+    encoder_ms = queue_timed(b_enc, ctx["image_sphere"],
+                             lambda x: x[0, 0, 0, 0, 0])
+    gaussians, _ = jax.jit(enc_apply)(ctx["image_sphere"])
 
     # encoder fwd+bwd (cotangent on the gaussian fields)
-    def enc_loss(p):
-        g, d = state.apply_fn(
-            p, ctx["image_sphere"], cubes, ctx["extrinsics_sphere"],
-            ctx["near"], ctx["far"], 0)
+    def enc_loss(img):
+        g, d = enc_apply(img)
         return (jnp.sum(g.means * 1e-6) + jnp.sum(g.covariances * 1e-6)
                 + jnp.sum(g.harmonics * 1e-6) + jnp.sum(g.opacities * 1e-6)
                 + jnp.sum(d * 1e-6))
 
-    enc_fb = jax.jit(jax.grad(enc_loss))
-    encoder_fb_ms, _ = timed(lambda: enc_fb(state.params))
+    @jax.jit
+    def b_enc_fb(img):
+        return img + jax.grad(enc_loss)(img)[0, 0, 0, 0, 0] * eps
 
-    # decoder forward + fwd/bwd on fixed gaussians (v*6 faces, production path)
+    encoder_fb_ms = queue_timed(b_enc_fb, ctx["image_sphere"],
+                                lambda x: x[0, 0, 0, 0, 0])
+
+    # decoder fwd and fwd+bwd on fixed gaussians (v*6 faces, production path)
     tgt = jax.tree_util.tree_map(jnp.asarray, batch["target"])
 
     def dec_fwd(g):
@@ -115,10 +141,20 @@ def main():
             remat_faces=cfg.train.remat_faces,
         ).color
 
-    jd = jax.jit(dec_fwd)
-    decoder_ms, _ = timed(lambda: jd(gaussians))
-    jdg = jax.jit(jax.grad(lambda g: jnp.mean(dec_fwd(g) ** 2)))
-    decoder_fb_ms, _ = timed(lambda: jdg(gaussians))
+    @jax.jit
+    def b_dec(g):
+        color = dec_fwd(g)
+        return g._replace(means=g.means + color[0, 0, 0, 0, 0, 0] * eps)
+
+    decoder_ms = queue_timed(b_dec, gaussians, lambda g: g.means[0, 0, 0])
+
+    @jax.jit
+    def b_dec_fb(g):
+        gr = jax.grad(lambda gg: jnp.mean(dec_fwd(gg) ** 2))(g)
+        return g._replace(means=g.means + gr.means[0, 0, 0] * eps)
+
+    decoder_fb_ms = queue_timed(b_dec_fb, gaussians,
+                                lambda g: g.means[0, 0, 0])
 
     stats = jax.local_devices()[0].memory_stats() or {}
     out = {
@@ -131,7 +167,7 @@ def main():
         "flops_per_step": flops,
         "mfu_bf16": round(flops / (step_ms / 1e3) / V5E_BF16_PEAK, 4),
         "hbm_peak_gb": round(stats.get("peak_bytes_in_use", 0) / 2**30, 2),
-        "loss": float(metrics["loss"]),
+        "loss": loss_now,
     }
     with open("TRAINBENCH.json", "w") as f:
         json.dump(out, f, indent=1)

@@ -82,8 +82,13 @@ def adapt_gaussians(
         scales, quats, world_rot=c2w_rot[:, :, None]
     )  # [B, V, N, 6]
 
-    # world means: unit ERP ray dirs * depth, rotated + translated by c2w
-    dirs = erp_ray_directions(h, w, depths.dtype).reshape(n, 3)
+    # world means: unit ERP ray dirs * depth, rotated + translated by c2w.
+    # n may be h*w*gpp (gaussians_per_pixel > 1, gpp fastest — see
+    # models/encoder.py step 6): every pixel's gpp gaussians share the ray.
+    assert n % (h * w) == 0, (n, h, w)
+    dirs = erp_ray_directions(h, w, depths.dtype).reshape(h * w, 3)
+    if n != h * w:
+        dirs = jnp.repeat(dirs, n // (h * w), axis=0)
     pts_cam = dirs * depths  # [B, V, N, 3] (broadcast over leading dims)
     means = (
         jnp.einsum("bvij,bvnj->bvni", c2w_rot, pts_cam)

@@ -218,14 +218,32 @@ class EncoderCostVolume360(nn.Module):
             densities, jnp.asarray(global_step, jnp.float32),
             om.initial, om.final, om.warm_up,
         ) / cfg.gaussians_per_pixel
+        # first-gaussian depth per pixel is the supervised depth map
+        depth_map = depths[..., 0].reshape(b, v, h, w)
         # raw layout: [2 skipped (xy-offset legacy), then adapter channels]
+        raw = raw_gaussians[..., 2:]
+        gpp = cfg.gaussians_per_pixel
+        if cfg.num_surfaces != 1:
+            raise NotImplementedError(
+                "num_surfaces > 1: the reference ships no >1-surface recipe "
+                "(config/model/encoder/costvolume.yaml num_surfaces: 1) and "
+                "the depth predictor emits one surface"
+            )
+        if gpp > 1:
+            # Reference broadcast semantics (encoder_costvolume.py:404-426):
+            # the gpp gaussians of a pixel SHARE raw scale/rot/SH and differ
+            # in depth + opacity. Flatten (pixel, gpp) into the gaussian
+            # axis, gpp fastest — matching depths' [.., hw, gpp] layout.
+            n_pix = depths.shape[2]
+            depths = depths.reshape(b, v, n_pix * gpp, 1)
+            opacities = opacities.reshape(b, v, n_pix * gpp, 1)
+            raw = jnp.repeat(raw, gpp, axis=2)
         gaussians = adapt_gaussians(
             adapter_cfg,
             extrinsics_sphere,
             depths,
             opacities,
-            raw_gaussians[..., 2:],
+            raw,
             (h, w),
         )
-        depth_map = depths[..., 0].reshape(b, v, h, w)
         return gaussians, depth_map

@@ -10,7 +10,13 @@ import os
 # (JAX_PLATFORMS=axon); unit tests must run on the virtual CPU mesh instead.
 # NOTE: sitecustomize imports jax at interpreter start, so setting the env var
 # here is NOT enough — jax.config.update("jax_platforms") below is what works.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# SPLAT360_TPU_TESTS=1 opts OUT of the CPU pin so the real-Mosaic parity
+# suite (tests/test_pallas_tpu.py) can run against the chip:
+#   SPLAT360_TPU_TESTS=1 python -m pytest tests/test_pallas_tpu.py -x -q
+# Never combine with another process using the TPU tunnel.
+_tpu_tests = os.environ.get("SPLAT360_TPU_TESTS") == "1"
+if not _tpu_tests:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,7 +25,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _tpu_tests:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # XLA:CPU's oneDNN path runs f32 dots in bf16-ish fastmath by default; pin full f32 so
 # allclose tests are meaningful. (TPU kernels set their precision explicitly.)

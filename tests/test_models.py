@@ -320,3 +320,49 @@ def test_bf16_compute_parity():
         assert g.means.dtype == jnp.float32
         assert g.covariances.dtype == jnp.float32
     assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[False]) + 1e-3
+
+
+def test_encoder_gaussians_per_pixel_2():
+    """gaussians_per_pixel > 1 (reference costvolume.yaml surface): the gpp
+    gaussians of a pixel share raw scale/rot/SH but take distinct depths and
+    opacities (encoder_costvolume.py:404-426 broadcast), flattened gpp-
+    fastest into the gaussian axis. Also trains one step end-to-end."""
+    cfg = tiny_encoder_cfg(gaussians_per_pixel=2)
+    tcfg = TrainConfig(
+        optimizer=OptimizerConfig(max_steps=10),
+        loss=LossConfig(depth_weight=0.1),
+        supervision="cubes",
+        render_backend="jax",
+        max_per_tile=512,
+    )
+    batch = tiny_batch()
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg, batch)
+    ctx = batch["context"]
+    from splatter360_tpu.train.state import _context_cubes
+
+    cubes = _context_cubes(jnp.asarray(ctx["image_sphere"]), H // 2)
+    gaussians, depth = state.apply_fn(
+        state.params, jnp.asarray(ctx["image_sphere"]), cubes,
+        jnp.asarray(ctx["extrinsics_sphere"]), jnp.asarray(ctx["near"]),
+        jnp.asarray(ctx["far"]), 0,
+    )
+    n = V * H * W * 2
+    assert gaussians.means.shape == (B, n, 3)
+    assert gaussians.covariances.shape == (B, n, 6)
+    assert gaussians.opacities.shape == (B, n)
+    assert depth.shape == (B, V, H, W)
+    m = np.asarray(gaussians.means).reshape(B, V, H * W, 2, 3)
+    o = np.asarray(gaussians.opacities).reshape(B, V, H * W, 2)
+    # the pair shares the pixel ray: means are collinear with the camera
+    # translation removed (same direction, different depth)
+    c2w = np.asarray(ctx["extrinsics_sphere"])  # [B, V, 4, 4]
+    rel = m - c2w[:, :, None, None, :3, 3]
+    d0 = rel[..., 0, :] / np.linalg.norm(rel[..., 0, :], axis=-1, keepdims=True)
+    d1 = rel[..., 1, :] / np.linalg.norm(rel[..., 1, :], axis=-1, keepdims=True)
+    np.testing.assert_allclose(d0, d1, atol=1e-5)
+    assert np.isfinite(o).all()
+
+    # one full train step (render + losses + Adam) runs and yields finite loss
+    step = jax.jit(make_train_step(cfg, tcfg))
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
