@@ -220,3 +220,42 @@ def test_bf16_split_mxu_emulation():
     scale = (np.abs(ref) @ np.abs(b).astype(np.float64))  # cancellation-aware
     rel = np.abs(three_pass - exact) / np.maximum(scale, 1e-3)
     assert rel.max() < 2e-5, rel.max()
+
+
+def test_vmem_guard_falls_back_unfused(monkeypatch):
+    """The fused kernels hold a [NSUB, 128] f32 table resident in VMEM;
+    beyond the budget (3-view 512x1024 contexts: N = 3*H*W = 1.57M ->
+    ~100 MB) Mosaic allocation would fail at compile time. _use_fused must
+    flip at the budget, and the unfused path must produce the same render
+    (it is the same math streaming blocks from HBM)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from splatter360_tpu.data.synthetic import random_gaussians
+    from splatter360_tpu.ops.pallas import composite as C
+    from splatter360_tpu.ops.rasterizer import render_tiled
+
+    # threshold arithmetic at the real production sizes
+    n_2view = 2 * 512 * 1024
+    n_3view = 3 * 512 * 1024
+    assert C._fused_table_bytes(n_2view) <= 94 * 1024 * 1024
+    assert C._fused_table_bytes(n_3view) > 94 * 1024 * 1024
+    assert C._use_fused(n_2view) and not C._use_fused(n_3view)
+
+    # same outputs through the forced-unfused path (tiny scene, interpret)
+    g = random_gaussians(jax.random.PRNGKey(5), 600, sh_degree=1)
+    args = (g["means"], g["covariances"], g["harmonics"], g["opacities"])
+
+    def run():
+        return render_tiled(
+            *args, jnp.eye(4), (32, 64), camera_kind="erp",
+            backend="pallas", max_per_tile=256,
+        ).color
+
+    monkeypatch.setenv("SPLAT360_PALLAS_INTERPRET", "1")
+    fused = np.asarray(jax.jit(run)())
+    monkeypatch.setattr(C, "_FUSED_VMEM_BUDGET", 1)  # force the fallback
+    assert not C._use_fused(600)
+    unfused = np.asarray(jax.jit(run)())
+    np.testing.assert_allclose(unfused, fused, atol=2e-5)
