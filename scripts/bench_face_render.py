@@ -254,8 +254,13 @@ def decoder_probe():
         return jnp.mean(out.color ** 2)
 
     res = {}
-    for label, seq, rem in (("seq_remat", True, True),
-                            ("seq_norremat", True, False)):
+    import itertools
+    variants = [("seq_remat", True, True), ("seq_norremat", True, False),
+                ("unroll_remat", "unroll", True),
+                ("unroll_noremat", "unroll", False)]
+    if "--quick" in sys.argv:
+        variants = variants[2:]
+    for label, seq, rem in variants:
         gfn = jax.grad(lambda g: dec_loss(g, seq, rem))
 
         def b(a):

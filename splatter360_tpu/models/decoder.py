@@ -84,13 +84,14 @@ def render_cube_views(
     depth_mode: str = "depth",
     backend: str = "pallas",
     max_per_tile: int = 2048,
-    sequential: bool = False,
+    sequential: "bool | str" = False,
     remat_faces: bool = True,
 ) -> DecoderOutput:
     """Render the 6 cube faces (FRBLUD) of every target view.
 
     sequential=True renders the v*6 faces of each batch item under lax.map
-    instead of vmap. vmap materializes every face's intermediate buffers AT
+    instead of vmap; sequential="unroll" emits a Python-unrolled face loop
+    (see the branch comment). vmap materializes every face's intermediate buffers AT
     ONCE — at hm3d scale (1.05M gaussians, 12 faces) the per-face instance
     packs / attr-cotangent tables alone are >10 GB of HBM temp and the train
     step cannot fit on a 16 GB chip; lax.map reuses one face's buffers across
@@ -123,7 +124,37 @@ def render_cube_views(
         return (out.color, (out.depth if render_depth else jnp.zeros((0,))),
                 out.alpha, out.dropped)
 
-    if sequential:
+    if sequential == "unroll":
+        # UNROLLED faces: a Python loop over the v*6 renders inside one
+        # trace. Unlike lax.map (whose scan serializes iterations — XLA
+        # cannot overlap face i+1's binning with face i's compositing), the
+        # unrolled graph lets the scheduler interleave stages across faces
+        # and share loop-invariant work. Costs compile time (12x the face
+        # graph) and lets XLA decide residual liveness; pair with
+        # remat_faces to bound memory.
+        one_r = jax.checkpoint(one) if remat_faces else one
+
+        def per_item(means, covs, sh, op, c2ws, nr, fr):
+            vf = v * 6
+            c2ws_f = c2ws.reshape(vf, 4, 4)
+            nr_f = jnp.repeat(nr, 6)
+            fr_f = jnp.repeat(fr, 6)
+            outs = [
+                one_r(means, covs, sh, op, c2ws_f[i], nr_f[i], fr_f[i])
+                for i in range(vf)
+            ]
+            color, depth, alpha, dropped = (
+                jnp.stack([o[k] for o in outs]) for k in range(4)
+            )
+            return (
+                color.reshape(v, 6, *color.shape[1:]),
+                depth.reshape(v, 6, *depth.shape[1:]),
+                alpha.reshape(v, 6, *alpha.shape[1:]),
+                dropped.reshape(v, 6),
+            )
+
+        per_batch = jax.vmap(per_item, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    elif sequential:
         # remat the per-face render: without it lax.map STACKS each face's
         # pallas residuals (packed instance blocks, SH bases — measured
         # 1.5G + 0.77G at hm3d scale) across all 12 iterations; with it the

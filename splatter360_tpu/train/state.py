@@ -52,8 +52,11 @@ class TrainConfig:
     wo_depth_supervise: bool = False
     # lax.map (not vmap) over the v*6 supervision faces: per-face HBM temps
     # are reused across the loop instead of materialized 12x — required to
-    # fit the 512x1024 train step in 16 GB (see render_cube_views docstring)
-    sequential_faces: bool = True
+    # fit the 512x1024 train step in 16 GB (see render_cube_views docstring).
+    # "unroll": Python-unrolled faces in one trace — lets XLA interleave
+    # stages across faces (lax.map's scan serializes them); more compile
+    # time and scheduler-chosen residual liveness.
+    sequential_faces: "bool | str" = True
     # replay each face's forward in backward instead of stacking its pallas
     # residuals (render_cube_views docstring); turn off for speed when HBM
     # has headroom
