@@ -106,6 +106,13 @@ def main():
     steps = int(os.environ.get("SPLAT360_GEN_STEPS",
                                "40" if small else "3000"))
     do_ablate = os.environ.get("SPLAT360_GEN_ABLATE", "1") == "1"
+    # extra config overrides from argv (e.g. train.loss.depth_weight=0 to
+    # isolate the cost volume's geometric contribution when GT ERP-depth
+    # supervision would otherwise teach the mono head the geometry), label
+    # tag, and output path override for side-by-side variants
+    extra_overrides = sys.argv[1:]
+    tag = os.environ.get("SPLAT360_GEN_TAG", "")
+    out_override = os.environ.get("SPLAT360_GEN_OUT")
     h, w = (64, 128) if small else (128, 256)
     k_train = 2 if small else 10
     k_test = 1 if small else 2
@@ -153,6 +160,7 @@ def main():
             "model.costvolume_unet_feat_dim=64",
             "model.gaussian_adapter.sh_degree=2",
         ]
+    overrides += extra_overrides
     cfg = load_config("configs/hm3d.yaml", overrides)
     print(f"devices: {jax.devices()} {h}x{w} steps={steps} "
           f"K={k_train}+{k_test}", file=sys.stderr)
@@ -169,29 +177,39 @@ def main():
         if len(eval_batches) >= (1 if small else 4):
             break
 
-    runs = [run_training(cfg, steps, root, eval_batches, h, w, "full")]
+    out_path = "GENERALIZE.json" if not small else "/tmp/generalize_small.json"
+    if out_override:
+        out_path = out_override
+    runs = []
+
+    def flush():
+        # incremental write: a crash in a later run must not lose the
+        # completed ones
+        art = {
+            "image_shape": [h, w],
+            "k_train_scenes": k_train,
+            "k_heldout_scenes": k_test,
+            "steps": steps,
+            "small": small,
+            "runs": runs,
+            "note": (
+                "feed-forward evaluation on scenes never seen in training; "
+                "full model vs wo_cost_volume at equal steps isolates the "
+                "cost-volume's contribution (VERDICT r2 missing #2)"
+            ),
+        }
+        with open(out_path, "w") as f:
+            json.dump(art, f, indent=1)
+
+    runs.append(run_training(
+        cfg, steps, root, eval_batches, h, w, "full" + tag))
+    flush()
     if do_ablate:
         cfg_ab = load_config(
             "configs/hm3d.yaml", overrides + ["model.wo_cost_volume=true"])
         runs.append(run_training(
-            cfg_ab, steps, root, eval_batches, h, w, "wo_cost_volume"))
-
-    art = {
-        "image_shape": [h, w],
-        "k_train_scenes": k_train,
-        "k_heldout_scenes": k_test,
-        "steps": steps,
-        "small": small,
-        "runs": runs,
-        "note": (
-            "feed-forward evaluation on scenes never seen in training; "
-            "full model vs wo_cost_volume at equal steps isolates the "
-            "cost-volume's contribution (VERDICT r2 missing #2)"
-        ),
-    }
-    out_path = "GENERALIZE.json" if not small else "/tmp/generalize_small.json"
-    with open(out_path, "w") as f:
-        json.dump(art, f, indent=1)
+            cfg_ab, steps, root, eval_batches, h, w, "wo_cost_volume" + tag))
+        flush()
     summary = {r["label"]: r["final_heldout_psnr"] for r in runs}
     print(json.dumps({"metric": "heldout_psnr", **summary, "steps": steps}))
 

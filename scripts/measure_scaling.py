@@ -48,35 +48,93 @@ SH_DEG = 2
 N_DEV = 8
 
 
-def band_sharding_stats():
-    g = random_gaussians(jax.random.PRNGKey(0), N, sh_degree=SH_DEG)
+def band_sharding_stats(h=None, w=None):
+    """Per-device instance counts for render_erp_sharded's band split.
+
+    r3 measured UNIFORM contiguous bands at max/mean 1.52 (ceiling 0.66) —
+    the per-band profile tracks cos(latitude) almost exactly. r4 ships
+    area-weighted bands (_band_partition): unequal tile-row counts chosen so
+    every band covers equal solid angle. Both splits are reported; the
+    shipped one is `area_weighted`. Measured at the north-star 512-row
+    geometry — at 128 rows there are only 8 tile rows for 8 devices, so ANY
+    contiguous partition is forced to one row per device."""
+    from splatter360_tpu.parallel.render_sharding import _band_partition
+
+    from splatter360_tpu.ops.tiling import TILE_W
+
+    h = h or H
+    w = w or W
+    n = 2 * h * w
+    g = random_gaussians(jax.random.PRNGKey(0), n, sh_degree=SH_DEG)
     c2w = jnp.eye(4)
     proj = jax.jit(
-        lambda m, c, o: project_erp(m, c, c2w, (H, W), 0.1, opacities=o)
+        lambda m, c, o: project_erp(m, c, c2w, (h, w), 0.1, opacities=o)
     )(g["means"], g["covariances"], g["opacities"])
 
-    h_pad = -(-H // (TILE_H * N_DEV)) * (TILE_H * N_DEV)
-    band_h = h_pad // N_DEV
+    u = np.asarray(proj.mean2d[:, 0])
     v = np.asarray(proj.mean2d[:, 1])
+    rx = np.asarray(proj.radius[:, 0])
     ry = np.asarray(proj.radius[:, 1])
     valid = np.asarray(proj.valid)
+    # per-splat x-tile multiplicity (wrap cap): per-band cost = EMITTED
+    # instances (splat x covered-tile pairs — what the sort and the kernel
+    # segment walk actually process), additive over tile rows
+    ntx = -(-w // TILE_W)
+    xmul = np.minimum(
+        np.floor((u + rx) / TILE_W) - np.floor((u - rx) / TILE_W) + 1, ntx
+    )
 
-    counts = []
-    for b in range(N_DEV):
-        y0 = b * band_h
-        in_band = valid & (v - y0 + ry >= 0.0) & (v - y0 - ry < band_h)
-        counts.append(int(in_band.sum()))
-    counts = np.array(counts)
+    def band_counts(y0s, bhs):
+        counts = []
+        for y0, bh in zip(y0s, bhs):
+            tot = 0.0
+            for ry0 in range(int(y0), int(y0 + bh), TILE_H):
+                in_row = (
+                    valid & (v - ry0 + ry >= 0.0) & (v - ry0 - ry < TILE_H)
+                )
+                tot += float((xmul * in_row).sum())
+            counts.append(int(tot))
+        return np.array(counts)
+
+    n_rows = -(-h // TILE_H)
+    h_pad = -(-h // (TILE_H * N_DEV)) * (TILE_H * N_DEV)
+    uni_h = h_pad // N_DEV
+    uniform = band_counts(
+        [b * uni_h for b in range(N_DEV)], [uni_h] * N_DEV)
+    starts, rows = _band_partition(n_rows, N_DEV, h)
+    weighted = band_counts(
+        [s * TILE_H for s in starts], [r * TILE_H for r in rows])
+
     # all_gather payload: packed 2D params [N, 13] f32; each device sends its
     # shard to every other -> (n-1)/n * N * 13 * 4 bytes received per device.
-    payload = int(N * 13 * 4)
+    payload = int(n * 13 * 4)
+    N_, SH_DEG_ = n, SH_DEG  # for the note below
     return {
-        "n_gaussians": N,
+        "n_gaussians": n,
         "n_devices": N_DEV,
-        "per_band_instances": counts.tolist(),
-        "imbalance_max_over_mean": round(float(counts.max() / counts.mean()), 4),
+        "geometry": f"{h}x{w} ERP",
+        "uniform_bands": {
+            "per_band_emitted_instances": uniform.tolist(),
+            "imbalance_max_over_mean": round(
+                float(uniform.max() / uniform.mean()), 4),
+            "efficiency_ceiling_mean_over_max": round(
+                float(uniform.mean() / uniform.max()), 4),
+        },
+        "area_weighted_bands": {
+            "tile_row_starts": list(starts),
+            "tile_rows_per_band": list(rows),
+            "per_band_emitted_instances": weighted.tolist(),
+            "imbalance_max_over_mean": round(
+                float(weighted.max() / weighted.mean()), 4),
+            "efficiency_ceiling_mean_over_max": round(
+                float(weighted.mean() / weighted.max()), 4),
+        },
+        "shipped": "area_weighted_bands",
+        "per_band_emitted_instances": weighted.tolist(),
+        "imbalance_max_over_mean": round(
+            float(weighted.max() / weighted.mean()), 4),
         "efficiency_ceiling_mean_over_max": round(
-            float(counts.mean() / counts.max()), 4
+            float(weighted.mean() / weighted.max()), 4
         ),
         "all_gather_bytes_per_view": payload,
         "all_gather_bytes_received_per_device": int(
@@ -85,7 +143,7 @@ def band_sharding_stats():
         "note": (
             "slowest band gates the step; ceiling = mean/max band work. "
             "3D-gaussian equivalent payload would be "
-            f"{int(N * (3 + 6 + 3 * (SH_DEG + 1) ** 2 + 1) * 4)} B "
+            f"{int(N_ * (3 + 6 + 3 * (SH_DEG_ + 1) ** 2 + 1) * 4)} B "
             "(the 2D pack is the ICI saver)"
         ),
     }
@@ -160,8 +218,9 @@ def dp_stats():
 def main():
     out = {
         "mesh": f"{N_DEV}-device virtual CPU mesh (xla_force_host_platform)",
-        "geometry": f"{H}x{W} ERP, N={N}, sh_degree={SH_DEG}",
-        "band_sharding": band_sharding_stats(),
+        "geometry": f"band: 512x1024 ERP (north-star rows); face: {H}x{W}, "
+                    f"N={N}, sh_degree={SH_DEG}",
+        "band_sharding": band_sharding_stats(512, 1024),
         "face_sharding": face_sharding_stats(),
         "dp": dp_stats(),
     }

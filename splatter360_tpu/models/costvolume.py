@@ -231,8 +231,16 @@ class DepthPredictor360(nn.Module):
         # ---- fine depth + density head
         gpp = self.gaussians_per_pixel
         if self.wo_depth_refine:
-            densities = pdf_max_full.reshape(b, v, hh * ww, 1)
-            depths = (1.0 / fullres_disp).reshape(b, v, hh * ww, 1)
+            # single coarse surface; broadcast across gpp so the encoder's
+            # (pixel, gpp)->gaussian flatten sees the same [.., hw, gpp]
+            # layout the refine branch emits (ADVICE r3: gpp>1 crash)
+            densities = jnp.broadcast_to(
+                pdf_max_full.reshape(b, v, hh * ww, 1), (b, v, hh * ww, gpp)
+            )
+            depths = jnp.broadcast_to(
+                (1.0 / fullres_disp).reshape(b, v, hh * ww, 1),
+                (b, v, hh * ww, gpp),
+            )
         else:
             y = nn.Conv(du * 2, (3, 3))(refine_out)
             y = nn.gelu(y, approximate=False)

@@ -1450,6 +1450,13 @@ def composite_tiles_pallas(
     """Drop-in replacement for composite_tiles_jax (same outputs)."""
     h, w = image_shape
     ntx, nty = assignment.num_tiles_x, assignment.num_tiles_y
+    if wrap_x and ntx < 2:
+        raise ValueError(
+            f"pallas compositor: equirect wrap needs width >= 2 tiles "
+            f"(w={w} < {2 * TILE_W}): the kernel re-centers u per TILE, "
+            f"which cannot serve both sides of the seam inside one tile. "
+            f"Use the jax backend for narrow debug renders."
+        )
     n = mean2d.shape[0]
     if _use_fused(n):
         attrs_p = _build_attrs_packed(

@@ -16,7 +16,7 @@ called from /root/reference/src/model/decoder/cuda_splatting.py:99-124):
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,14 @@ class Projected(NamedTuple):
     #   compositors' power gate would anyway. ERP pole-stretching is horizontal,
     #   so ry stays small where rx blows up (anisotropic tiling footprints).
     valid: jnp.ndarray   # [N] bool
+    # [N] optional elliptical-cull level for tile emission (ops/tiling.py):
+    # the compositor gate region is {x: x^T Q x < gate_s} (power > -q with
+    # gate_s = 2q, opacity-tightened like the radii). Emission computes the
+    # EXACT min of the quadratic over each candidate tile rectangle; a tile
+    # with min > gate_s gets zero contribution from every pixel, so skipping
+    # it is output-identical — this kills the AABB's diagonal-corner tiles
+    # that the per-axis radius box cannot.
+    gate_s: Optional[jnp.ndarray] = None
 
 
 def _to_cam(rot, t, means):
@@ -128,7 +136,15 @@ def _finalize(u, v, a, b, c, depth, valid, eps2d=0.3, max_radius=None,
         ry = jnp.minimum(ry, max_radius[1])
     radius = jnp.stack([rx, ry], axis=-1)
     valid = valid & (det > 1e-12)
-    return Projected(mean2d, conic, depth, radius, valid)
+    # Elliptical cull level: the gate region is {power > -q} = {x^T Q x <
+    # 2q} with q = 4.5 (or the opacity-tightened q above). Exact regardless
+    # of radius clamps (q is the true gate level, unlike a level recovered
+    # from possibly-clamped radii). 1e-4 slack absorbs f32 rounding between
+    # the emission-side rect-min and the compositor's per-pixel power.
+    q_lvl = 4.5 * jnp.square(scale) if opacities is not None else 4.5
+    gate_s = 2.0 * q_lvl * (1.0 + 1e-4) + 1e-6
+    gate_s = jnp.broadcast_to(jnp.asarray(gate_s, u.dtype), u.shape)
+    return Projected(mean2d, conic, depth, radius, valid, gate_s)
 
 
 def project_pinhole(

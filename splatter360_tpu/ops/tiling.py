@@ -105,7 +105,7 @@ def _depth_key(depth: jnp.ndarray) -> jnp.ndarray:
 
 def _tile_rect_keys(
     tx0, ty0, span_x, span_y, qd, valid, ntx, nty, sh, sw, wrap_x,
-    u, v, rx, ry, w_img,
+    u, v, rx, ry, w_img, conic_s=None,
 ):
     """Emit keys for an sh x sw tile rectangle. Returns [sh, sw, C] int32 keys.
 
@@ -121,7 +121,16 @@ def _tile_rect_keys(
     per-instance cost (sort survivors, pack gather, kernel blocks, gradient
     scatter). Under wrap the test re-centers u modulo the image width to the
     WRAPPED tile box, mirroring the kernel (clamped spans can wrap a slot far
-    from its unwrapped position)."""
+    from its unwrapped position).
+
+    conic_s = (ca, cb, cc, gate_s), each [C], adds the ELLIPTICAL cull (r4):
+    the AABB keeps corner tiles the gate ellipse {x^T Q x < gate_s} never
+    reaches. The EXACT min of the convex quadratic over the tile rect is
+    min of the two clamped edge-stationary candidates (fix x at the nearest
+    x-edge, minimize over y clamped; and vice versa — the interior case
+    degenerates to 0 through the clamps). min > gate_s => every pixel's
+    compositor gate is already zero, so the skip is output-identical; it
+    kills the diagonal corners of stretched splats' rectangles."""
     sy = jnp.arange(sh, dtype=jnp.int32)[:, None, None]   # [sh, 1, 1]
     sx = jnp.arange(sw, dtype=jnp.int32)[None, :, None]   # [1, sw, 1]
     tile_x = tx0[None, None, :] + sx                      # [1, sw, C]
@@ -146,6 +155,23 @@ def _tile_rect_keys(
         0.0,
     )
     hit = (dy <= ry[None, None, :]) & (dx <= rx[None, None, :])
+    if conic_s is not None:
+        ca, cb, cc, gate_s = (x[None, None, :] for x in conic_s)
+        # signed nearest-point ranges of the tile's pixel box around the mean
+        dx0 = x_lo - u_eff
+        dx1 = x_lo + (TILE_W - 1) - u_eff
+        dy0 = y_lo - v[None, None, :]
+        dy1 = y_lo + (TILE_H - 1) - v[None, None, :]
+        zero = jnp.zeros_like(dx0)
+        xe = jnp.clip(zero, dx0, dx1)
+        ye = jnp.clip(zero, dy0, dy1)
+        ca_s = jnp.maximum(ca, 1e-30)
+        cc_s = jnp.maximum(cc, 1e-30)
+        y1 = jnp.clip(-cb * xe / cc_s, dy0, dy1)
+        q1 = ca * xe * xe + 2.0 * cb * xe * y1 + cc * y1 * y1
+        x2 = jnp.clip(-cb * ye / ca_s, dx0, dx1)
+        q2 = ca * x2 * x2 + 2.0 * cb * x2 * ye + cc * ye * ye
+        hit = hit & (jnp.minimum(q1, q2) <= gate_s)
     tile_id = tile_y * ntx + tile_x
     ok = (
         (sy < span_y[None, None, :])
@@ -208,6 +234,16 @@ def assign_tiles(
     ry = proj.radius[:, 1]
     qd = _depth_key(jnp.maximum(proj.depth, 1e-9))
 
+    # Elliptical prune (see _tile_rect_keys): gate level from
+    # projection._finalize. None (e.g. the hand-built Projected in
+    # parallel/render_sharding.py) disables the extra cull.
+    if proj.gate_s is not None:
+        conic_s = (
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2], proj.gate_s,
+        )
+    else:
+        conic_s = None
+
     tx0 = jnp.floor((u - rx) / TILE_W).astype(jnp.int32)
     tx1 = jnp.floor((u + rx) / TILE_W).astype(jnp.int32)
     ty0 = jnp.floor((v - ry) / TILE_H).astype(jnp.int32)
@@ -235,7 +271,7 @@ def assign_tiles(
     # fast tier, slot 0: the top-left tile of the (clamped) rect.
     keys_f0 = _tile_rect_keys(
         tx0, ty0, span_x, span_y, qd, is_fast, ntx, nty, 1, 1, wrap_x,
-        u, v, rx, ry, float(w),
+        u, v, rx, ry, float(w), conic_s,
     ).reshape(-1)
     # fast tier, slot 1: the single straddled neighbor (down if span_y == 2,
     # else right if span_x == 2; sentinel for 1x1 splats).
@@ -245,7 +281,7 @@ def assign_tiles(
     has_s1 = is_fast & ((span_x == 2) | (span_y == 2))
     keys_f1 = _tile_rect_keys(
         tx_s1, ty_s1, jnp.ones_like(span_x), jnp.ones_like(span_y), qd,
-        has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w),
+        has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w), conic_s,
     ).reshape(-1)
     # Emission layout is SLOT-MAJOR everywhere ([2, N] fast tier, [span_i,
     # cap_i] per compacted tier): the splat index stays on lanes, so no
@@ -279,14 +315,14 @@ def assign_tiles(
     # ONE lane gather of the emission attributes for all tiers together.
     # Every row is exactly representable in f32 (ints < 2^24), so a single
     # [9, N] matrix carries them; the gather runs on lanes like the pack's.
-    em = jnp.stack(
-        [
-            tx0.astype(jnp.float32), ty0.astype(jnp.float32),
-            span_x.astype(jnp.float32), span_y.astype(jnp.float32),
-            qd.astype(jnp.float32), u, v, rx, ry,
-        ],
-        axis=0,
-    )  # [9, N]
+    em_rows = [
+        tx0.astype(jnp.float32), ty0.astype(jnp.float32),
+        span_x.astype(jnp.float32), span_y.astype(jnp.float32),
+        qd.astype(jnp.float32), u, v, rx, ry,
+    ]
+    if conic_s is not None:
+        em_rows += list(conic_s)
+    em = jnp.stack(em_rows, axis=0)  # [9 or 13, N]
 
     dropped = jnp.int32(0)
     tier_idx = []
@@ -309,6 +345,8 @@ def assign_tiles(
                 ga[4].astype(jnp.int32), ok,
                 ntx, nty, sh_t, sw_t, wrap_x, ga[5], ga[6], ga[7], ga[8],
                 float(w),
+                (ga[9], ga[10], ga[11], ga[12]) if conic_s is not None
+                else None,
             ).reshape(-1)
         )
         gidx_parts.append(

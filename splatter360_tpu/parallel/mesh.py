@@ -75,7 +75,7 @@ def face_mesh_split(batch_size: int, n_faces: int, n_devices: int):
     data = largest divisor of the batch (as data_mesh_size); face = largest
     divisor of n_faces (= v*6 per example) that fits the remaining devices —
     shard_map needs every device's face slice equal. Warns when devices are
-    left idle (e.g. 12 faces on 8 chips at batch 1 -> 1x4, 4 idle)."""
+    left idle (e.g. 12 faces on 8 chips at batch 1 -> 1x6, 2 idle)."""
     b = max(int(batch_size), 1)
     n_data = max(d for d in range(1, max(n_devices, 1) + 1) if b % d == 0)
     rem = max(n_devices // n_data, 1)

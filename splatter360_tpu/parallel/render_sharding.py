@@ -30,6 +30,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
@@ -47,6 +48,56 @@ def _pad_to_multiple(x, n, axis=0):
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+def _band_partition(n_rows: int, n_dev: int, h: int):
+    """Area-weighted contiguous tile-row bands (VERDICT r3 weak #4).
+
+    Uniform bands put the equator tiles on the middle devices: measured
+    imbalance max/mean = 1.52 on distinct splats (SCALING.json r3). The real
+    per-device cost is EMITTED INSTANCES (splat x covered-tile pairs — what
+    binning sorts and the kernel walks), which is additive over tile rows.
+    Measured per-row emitted profile at the 512-row north star: rows ~
+    a*|d sin(phi)| + b, with the constant b (b/a ~ 1.2/n_rows) from the
+    x-stretch tile multiplicity (rx ~ 1/cos) and y-straddle — the affine fit
+    is within 8% per row, and DP-partitioning on it reaches the SAME bounds
+    as partitioning on the true measured profile (ceiling 0.92 vs uniform
+    0.66). Contiguous bands keep the per-device y-shift uniform (no
+    compositor changes); balance comes from UNEQUAL row counts.
+
+    Returns (start_row[d], rows[d]) lists, in tile-row units."""
+    edges_y = np.minimum(np.arange(n_rows + 1) * TILE_H, h).astype(np.float64)
+    phi = (0.5 - edges_y / max(h, 1)) * np.pi
+    s = np.sin(phi)
+    area = np.abs(s[:-1] - s[1:])
+    real = edges_y[1:] > edges_y[:-1]  # pad rows carry no work
+    # area sums to 2 over the sphere; the straddle/stretch floor adds
+    # ~1.2/n_rows per real row (fitted on the uniform proxy, see docstring)
+    w_rows = area + real * (1.2 / max(n_rows, 1)) + 1e-9
+    prefix = np.concatenate([[0.0], np.cumsum(w_rows)])
+
+    def band_w(i, j):  # weight of rows [i, j)
+        return prefix[j] - prefix[i]
+
+    # DP: best[k][j] = minimal max-band-weight covering rows [0, j) with k bands
+    INF = float("inf")
+    best = [[INF] * (n_rows + 1) for _ in range(n_dev + 1)]
+    cut = [[0] * (n_rows + 1) for _ in range(n_dev + 1)]
+    best[0][0] = 0.0
+    for k in range(1, n_dev + 1):
+        for j in range(n_rows + 1):
+            for i in range(j + 1):
+                cand = max(best[k - 1][i], band_w(i, j))
+                if cand < best[k][j]:
+                    best[k][j] = cand
+                    cut[k][j] = i
+    bounds = [n_rows]
+    for k in range(n_dev, 0, -1):
+        bounds.append(cut[k][bounds[-1]])
+    bounds = bounds[::-1]  # n_dev+1 ascending row indices
+    starts = bounds[:-1]
+    rows = [b1 - b0 for b0, b1 in zip(bounds[:-1], bounds[1:])]
+    return starts, rows
 
 
 def render_erp_sharded(
@@ -67,14 +118,20 @@ def render_erp_sharded(
 ) -> RenderOutput:
     """Render one ERP view with Gaussians + pixel bands sharded over `axis`.
 
-    Image heights that don't split into tile-row-aligned bands are handled by
-    rendering a padded [h_pad, w] image (h_pad = next multiple of
-    TILE_H * n_dev) and cropping — the extra rows see no extra splats beyond
-    their tile rows, so cost grows only by the pad fraction."""
+    Bands are AREA-WEIGHTED contiguous tile-row ranges (_band_partition):
+    every device renders a fixed-size [band_h_max, w] buffer (static shapes
+    for shard_map) but owns only its `rows[d]` tile rows starting at
+    `starts[d]` — polar devices own many cheap rows, equator devices few
+    expensive ones. The final image is assembled by a static row gather.
+    Heights that aren't TILE_H multiples are padded and cropped."""
     h, w = image_shape
     n_dev = mesh.shape[axis]
-    h_pad = -(-h // (TILE_H * n_dev)) * (TILE_H * n_dev)
-    band_h = h_pad // n_dev
+    n_rows = -(-h // TILE_H)
+    starts, rows = _band_partition(n_rows, n_dev, h)
+    band_rows_max = max(max(rows), 1)
+    band_h = band_rows_max * TILE_H  # static per-device buffer height
+    y0_tab = jnp.asarray([s * TILE_H for s in starts], jnp.float32)
+    bh_tab = jnp.asarray([r * TILE_H for r in rows], jnp.float32)
     if background is None:
         background = jnp.zeros((3,), means.dtype)
     if sh_degree is None:
@@ -113,10 +170,11 @@ def render_erp_sharded(
 
         # (3) bin + composite only this device's band of tile rows
         band = jax.lax.axis_index(axis)
-        y0 = (band * band_h).astype(mean2d.dtype)
+        y0 = y0_tab[band].astype(mean2d.dtype)
+        bh_own = bh_tab[band].astype(mean2d.dtype)  # owned rows < buffer band_h
         v_loc = mean2d[:, 1] - y0
         ry_g = radius_g[:, 1]
-        in_band = (v_loc + ry_g >= 0.0) & (v_loc - ry_g < band_h)
+        in_band = (v_loc + ry_g >= 0.0) & (v_loc - ry_g < bh_own)
         band_proj = Projected(
             mean2d=jnp.stack([mean2d[:, 0], v_loc], axis=-1),
             conic=conic,
@@ -148,8 +206,15 @@ def render_erp_sharded(
         check_rep=False,
     )(means_p, covs_p, sh_p, op_p, c2w, background)
 
-    if h_pad != h:  # crop the tile-row padding back off
-        rgb, alpha, dacc = rgb[:h], alpha[:h], dacc[:h]
+    # assemble: device d's buffer rows [0, rows[d]*TILE_H) are its owned
+    # global rows [starts[d]*TILE_H, ...); static gather (+ crop of TILE_H pad)
+    src = np.zeros(h, np.int32)
+    for d, (s0, r) in enumerate(zip(starts, rows)):
+        lo = s0 * TILE_H
+        hi = min((s0 + r) * TILE_H, h)
+        src[lo:hi] = d * band_h + np.arange(hi - lo)
+    src = jnp.asarray(src)
+    rgb, alpha, dacc = rgb[src], alpha[src], dacc[src]
     return RenderOutput(
         color=rgb, depth=dacc if render_depth else None, alpha=alpha
     )

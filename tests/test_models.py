@@ -366,3 +366,30 @@ def test_encoder_gaussians_per_pixel_2():
     step = jax.jit(make_train_step(cfg, tcfg))
     _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_encoder_gpp2_wo_depth_refine():
+    """gpp > 1 with wo_depth_refine: the single coarse surface broadcasts
+    across gpp (ADVICE r3: used to crash with an opaque reshape error)."""
+    cfg = tiny_encoder_cfg(gaussians_per_pixel=2, wo_depth_refine=True)
+    batch = tiny_batch()
+    tcfg = TrainConfig(
+        optimizer=OptimizerConfig(max_steps=10),
+        supervision="cubes", render_backend="jax", max_per_tile=512,
+    )
+    state = create_train_state(jax.random.PRNGKey(0), cfg, tcfg, batch)
+    ctx = batch["context"]
+    from splatter360_tpu.train.state import _context_cubes
+
+    cubes = _context_cubes(jnp.asarray(ctx["image_sphere"]), H // 2)
+    gaussians, depth = state.apply_fn(
+        state.params, jnp.asarray(ctx["image_sphere"]), cubes,
+        jnp.asarray(ctx["extrinsics_sphere"]), jnp.asarray(ctx["near"]),
+        jnp.asarray(ctx["far"]), 0,
+    )
+    n = V * H * W * 2
+    assert gaussians.means.shape == (B, n, 3)
+    assert depth.shape == (B, V, H, W)
+    # the broadcast pair shares the depth -> identical means
+    m = np.asarray(gaussians.means).reshape(B, V, H * W, 2, 3)
+    np.testing.assert_allclose(m[..., 0, :], m[..., 1, :], atol=1e-6)

@@ -338,6 +338,28 @@ def test_sequential_faces_match_vmap(scene):
         np.asarray(g_s), np.asarray(g_v), rtol=1e-5, atol=1e-4
     )
 
+    # the unrolled face loop (sequential="unroll", the flagship decode
+    # candidate — VERDICT r3 weak #2) must also match, fwd + grad, with
+    # remat on and off
+    for remat in (True, False):
+        c_u = render_cube_views(
+            g, extr, near, far, (16, 16), backend="jax",
+            sequential="unroll", remat_faces=remat,
+        ).color
+        np.testing.assert_allclose(np.asarray(c_u), np.asarray(c_v), atol=1e-6)
+
+    def loss_u(op):
+        out = render_cube_views(
+            g._replace(opacities=op), extr, near, far, (16, 16),
+            backend="jax", sequential="unroll",
+        )
+        return jnp.sum(out.color ** 2)
+
+    g_u = jax.grad(loss_u)(g.opacities)
+    np.testing.assert_allclose(
+        np.asarray(g_u), np.asarray(g_v), rtol=1e-5, atol=1e-4
+    )
+
 
 def test_opacity_cull_exact_low_opacity():
     """Opacity-aware radius tightening (ops/projection.py::_finalize) must be
@@ -382,3 +404,54 @@ def test_opacity_cull_exact_low_opacity():
         scale = np.abs(a).max() + 1e-12
         np.testing.assert_allclose(b / scale, a / scale, atol=1e-6,
                                    err_msg=name)
+
+
+def test_elliptical_prune_cuts_instances_exactly():
+    """Elliptical emission cull (Projected.prune_d2, r4): diagonal stretched
+    splats have loose AABBs — the lam_min disc bound must skip their corner
+    tiles with NO output change (every skipped pixel's gate is already
+    zero), and must measurably reduce emitted instances vs AABB binning."""
+    from splatter360_tpu.ops.projection import project_erp
+    from splatter360_tpu.ops.tiling import assign_tiles
+
+    # diagonal (45-degree) elongated gaussians: AABB is square, ellipse thin.
+    # Geometry large enough that footprints span several 16x128 tiles.
+    hh, ww = 256, 512
+    rng = np.random.default_rng(11)
+    n = 500
+    means = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    d = np.array([1.0, 1.0, 0.0], np.float32) / np.sqrt(2)
+    covs = (
+        0.25**2 * d[None, :, None] * d[None, None, :]
+        + 0.01**2 * np.eye(3)[None]
+    ).astype(np.float32)
+    sh = rng.normal(0, 0.3, (n, 3, 4)).astype(np.float32)
+    op = rng.uniform(0.4, 0.9, n).astype(np.float32)
+    c2w = jnp.eye(4)
+
+    proj = project_erp(
+        jnp.asarray(means), jnp.asarray(covs), c2w, (hh, ww), 0.1,
+        opacities=jnp.asarray(op),
+    )
+    a_pruned = assign_tiles(proj, (hh, ww), wrap_x=True)
+    a_aabb = assign_tiles(
+        proj._replace(gate_s=None), (hh, ww), wrap_x=True)
+    k_pruned = int(np.sum(np.asarray(a_pruned.tile_counts)))
+    k_aabb = int(np.sum(np.asarray(a_aabb.tile_counts)))
+    assert k_pruned < 0.9 * k_aabb, (k_pruned, k_aabb)
+
+    # output-identical: render through the same backend with both bindings
+    from splatter360_tpu.ops.composite_jax import composite_tiles_jax
+
+    bg = jnp.zeros((3,))
+    from splatter360_tpu.ops.projection import sh_colors
+    cols = sh_colors(jnp.asarray(sh), jnp.asarray(means), c2w[:3, 3], 1)
+    outs = []
+    for asg in (a_pruned, a_aabb):
+        rgb, alpha, dacc = composite_tiles_jax(
+            asg, proj.mean2d, proj.conic, cols, jnp.asarray(op),
+            proj.depth, proj.radius, (hh, ww), bg, True, max_per_tile=512,
+        )
+        outs.append((np.asarray(rgb), np.asarray(alpha)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
