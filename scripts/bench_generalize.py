@@ -54,7 +54,7 @@ def run_training(cfg, steps, train_root, eval_batches, h, w, label):
     @jax.jit
     def heldout_metrics(params, ctx, tgt):
         cubes = _context_cubes(ctx["image_sphere"], h // 2)
-        gaussians, _ = state.apply_fn(
+        gaussians, pred_depth = state.apply_fn(
             params, ctx["image_sphere"], cubes, ctx["extrinsics_sphere"],
             ctx["near"], ctx["far"], 10**9,
         )
@@ -64,16 +64,28 @@ def run_training(cfg, steps, train_root, eval_batches, h, w, label):
         )
         flat_p = out.color.reshape(-1, h, w, 3)
         flat_g = tgt["image_sphere"].reshape(-1, h, w, 3)
+        # encoder-predicted context depth vs GT: the GEOMETRY metric.
+        # Novel-view PSNR can stay high with wrong geometry at narrow
+        # baselines; depth_abs_rel on never-seen scenes is what separates
+        # stereo (cost volume) from a monocular prior.
+        gt_d = ctx["depth_sphere"]
+        mask = gt_d > 0.1
+        abs_rel = jnp.sum(
+            jnp.where(mask, jnp.abs(pred_depth - gt_d) / jnp.maximum(
+                gt_d, 0.1), 0.0)
+        ) / jnp.maximum(jnp.sum(mask), 1)
         return (jnp.mean(compute_psnr(flat_g, flat_p)),
-                jnp.mean(compute_ssim(flat_g, flat_p)))
+                jnp.mean(compute_ssim(flat_g, flat_p)), abs_rel)
 
     def eval_heldout(params):
-        ps, ss = [], []
+        ps, ss, ds = [], [], []
         for ctx, tgt in eval_batches:
-            p, s = heldout_metrics(params, ctx, tgt)
+            p, s, dr = heldout_metrics(params, ctx, tgt)
             ps.append(float(p))
             ss.append(float(s))
-        return sum(ps) / len(ps), sum(ss) / len(ss)
+            ds.append(float(dr))
+        return (sum(ps) / len(ps), sum(ss) / len(ss),
+                sum(ds) / len(ds))
 
     curve = []
     eval_every = max(steps // 12, 25)
@@ -83,12 +95,14 @@ def run_training(cfg, steps, train_root, eval_batches, h, w, label):
         state, metrics = step_fn(state, batch)
         s = int(state.step)
         if s % eval_every == 0 or s == 1 or s >= steps:
-            p, ss = eval_heldout(state.params)
+            p, ss, dr = eval_heldout(state.params)
             curve.append({"step": s, "heldout_psnr": round(p, 3),
                           "heldout_ssim": round(ss, 4),
+                          "heldout_depth_abs_rel": round(dr, 4),
                           "loss": round(float(metrics["loss"]), 5)})
             print(f"[{label}] step {s}: heldout_psnr={p:.3f} "
-                  f"ssim={ss:.4f} loss={float(metrics['loss']):.4f}",
+                  f"ssim={ss:.4f} depth_abs_rel={dr:.4f} "
+                  f"loss={float(metrics['loss']):.4f}",
                   file=sys.stderr, flush=True)
         nxt = next(batch_iter)
         batch = {k: v for k, v in nxt.items() if k != "scene"}
@@ -96,6 +110,7 @@ def run_training(cfg, steps, train_root, eval_batches, h, w, label):
         "label": label,
         "final_heldout_psnr": curve[-1]["heldout_psnr"],
         "final_heldout_ssim": curve[-1]["heldout_ssim"],
+        "final_heldout_depth_abs_rel": curve[-1]["heldout_depth_abs_rel"],
         "seconds": round(time.perf_counter() - t0, 1),
         "curve": curve,
     }

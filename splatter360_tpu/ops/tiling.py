@@ -269,9 +269,15 @@ def assign_tiles(
     )
 
     # fast tier, slot 0: the top-left tile of the (clamped) rect.
+    # Fast tier: NO elliptical cull. A <=2-tile footprint's neighbor tile is
+    # essentially never outside the ellipse (the cut targets corner tiles of
+    # MULTI-tile rects), and the [N]-sized q1/q2 temporaries measurably blew
+    # the razor-thin HBM margin of the 512x1024 train step (r4: decode bench
+    # OOM by 41 MB). Compacted tiers below keep the cull — their temps are
+    # cap-sized (<= N/16).
     keys_f0 = _tile_rect_keys(
         tx0, ty0, span_x, span_y, qd, is_fast, ntx, nty, 1, 1, wrap_x,
-        u, v, rx, ry, float(w), conic_s,
+        u, v, rx, ry, float(w),
     ).reshape(-1)
     # fast tier, slot 1: the single straddled neighbor (down if span_y == 2,
     # else right if span_x == 2; sentinel for 1x1 splats).
@@ -281,7 +287,7 @@ def assign_tiles(
     has_s1 = is_fast & ((span_x == 2) | (span_y == 2))
     keys_f1 = _tile_rect_keys(
         tx_s1, ty_s1, jnp.ones_like(span_x), jnp.ones_like(span_y), qd,
-        has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w), conic_s,
+        has_s1, ntx, nty, 1, 1, wrap_x, u, v, rx, ry, float(w),
     ).reshape(-1)
     # Emission layout is SLOT-MAJOR everywhere ([2, N] fast tier, [span_i,
     # cap_i] per compacted tier): the splat index stays on lanes, so no
@@ -315,14 +321,17 @@ def assign_tiles(
     # ONE lane gather of the emission attributes for all tiers together.
     # Every row is exactly representable in f32 (ints < 2^24), so a single
     # [9, N] matrix carries them; the gather runs on lanes like the pack's.
-    em_rows = [
-        tx0.astype(jnp.float32), ty0.astype(jnp.float32),
-        span_x.astype(jnp.float32), span_y.astype(jnp.float32),
-        qd.astype(jnp.float32), u, v, rx, ry,
-    ]
-    if conic_s is not None:
-        em_rows += list(conic_s)
-    em = jnp.stack(em_rows, axis=0)  # [9 or 13, N]
+    em = jnp.stack(
+        [
+            tx0.astype(jnp.float32), ty0.astype(jnp.float32),
+            span_x.astype(jnp.float32), span_y.astype(jnp.float32),
+            qd.astype(jnp.float32), u, v, rx, ry,
+        ],
+        axis=0,
+    )  # [9, N]
+    # conic + gate level for the tiers' elliptical cull, gathered separately
+    # (keeps `em` and the HBM peak at their r3 size)
+    em2 = jnp.stack(list(conic_s), axis=0) if conic_s is not None else None
 
     dropped = jnp.int32(0)
     tier_idx = []
@@ -338,15 +347,18 @@ def assign_tiles(
 
         ii = jnp.clip(idx, 0, n - 1)
         ga = jnp.take(em, ii, axis=1)  # [9, cap_t] lane gather
+        if em2 is not None:
+            g2 = jnp.take(em2, ii, axis=1)  # [4, cap_t]
+            cs_t = (g2[0], g2[1], g2[2], g2[3])
+        else:
+            cs_t = None
         keys_parts.append(
             _tile_rect_keys(
                 ga[0].astype(jnp.int32), ga[1].astype(jnp.int32),
                 ga[2].astype(jnp.int32), ga[3].astype(jnp.int32),
                 ga[4].astype(jnp.int32), ok,
                 ntx, nty, sh_t, sw_t, wrap_x, ga[5], ga[6], ga[7], ga[8],
-                float(w),
-                (ga[9], ga[10], ga[11], ga[12]) if conic_s is not None
-                else None,
+                float(w), cs_t,
             ).reshape(-1)
         )
         gidx_parts.append(
