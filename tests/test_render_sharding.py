@@ -105,6 +105,42 @@ def test_band_sharded_pad_relaxation(scene):
     )
 
 
+def test_band_sharded_unequal_area_weighted_bands(scene):
+    """Area-weighted partition with genuinely UNEQUAL bands (r4): h=160 on a
+    4-device mesh gives 10 tile rows split as polar-heavy/equator-light
+    (e.g. [3,2,2,3]), so the fixed-size band buffers carry unused tail rows
+    and the static row-gather assembly is exercised. Must still match the
+    single-device render exactly."""
+    from splatter360_tpu.parallel.render_sharding import _band_partition
+
+    h_tall = 160
+    starts, rows = _band_partition(h_tall // 16, N_DEV, h_tall)
+    assert len(set(rows)) > 1, (starts, rows)  # really unequal
+    mesh = create_mesh(N_DEV)
+    m, c, s, o = (scene["means"], scene["covariances"], scene["harmonics"],
+                  scene["opacities"])
+    c2w = jnp.eye(4)
+    ref = render_tiled(m, c, s, o, c2w, (h_tall, W), camera_kind="erp",
+                       backend="jax", max_per_tile=512)
+
+    @jax.jit
+    def run(m, c, s, o, c2w):
+        out = render_erp_sharded(
+            m, c, s, o, c2w, (h_tall, W), mesh, backend="jax",
+            max_per_tile=512,
+        )
+        return out.color, out.alpha
+
+    color, alpha = run(m, c, s, o, c2w)
+    assert color.shape == (h_tall, W, 3)
+    np.testing.assert_allclose(
+        np.asarray(color), np.asarray(ref.color), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha), np.asarray(ref.alpha), atol=2e-5
+    )
+
+
 def test_render_erp_views_sharded_wrapper(scene):
     """The decoder-interface wrapper (train.shard_render path) matches
     render_erp_views across batch/view axes."""
