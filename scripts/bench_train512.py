@@ -168,7 +168,8 @@ def main():
             save_checkpoint(ckpt_dir, s, state)
             fresh = create_train_state(
                 jax.random.PRNGKey(1), cfg.model, cfg.train, first)
-            restored = restore_checkpoint(ckpt_dir, fresh)
+            restored, did_restore = restore_checkpoint(ckpt_dir, fresh)
+            assert did_restore
             same_step = int(restored.step) == s
             pdiff = max(
                 float(jnp.max(jnp.abs(a - b))) for a, b in zip(
