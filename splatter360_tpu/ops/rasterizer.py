@@ -111,6 +111,13 @@ def render_tiled(
     # depth channel uses the transformed value; the sort stays on raw depth
     depth_vals = transform_depth(proj.depth, depth_mode, near, far)
 
+    # pallas kernels re-center u per TILE, which cannot serve both sides of
+    # the equirect seam when the whole width is one tile; fall back to the
+    # jax compositor for such narrow debug renders (ADVICE r4 #3) instead of
+    # letting composite_tiles_pallas raise
+    if backend == "pallas" and wrap_x and assignment.num_tiles_x < 2:
+        backend = "jax"
+
     if backend == "jax":
         rgb, alpha, dacc = composite_tiles_jax(
             assignment,

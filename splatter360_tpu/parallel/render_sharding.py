@@ -25,7 +25,7 @@ Enable via `train.shard_render` (validation/eval decode on a >1-device mesh).
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import jax
@@ -50,6 +50,7 @@ def _pad_to_multiple(x, n, axis=0):
     return jnp.pad(x, widths)
 
 
+@lru_cache(maxsize=None)
 def _band_partition(n_rows: int, n_dev: int, h: int):
     """Area-weighted contiguous tile-row bands (VERDICT r3 weak #4).
 
