@@ -35,10 +35,25 @@ def main():
         f1 = jax.jit(lambda x: jax.lax.sort((x,), num_keys=1))
         f2 = jax.jit(lambda x, y: jax.lax.sort((x, y), num_keys=1))
         f3 = jax.jit(lambda x, y, z: jax.lax.sort((x, y, z), num_keys=1))
+        # unstable variants: XLA's stable lowering widens the comparator with
+        # an iota tiebreak; binning doesn't need stability when ties are
+        # quantized-depth-equal within one tile (r5 probe)
+        f1u = jax.jit(lambda x: jax.lax.sort((x,), num_keys=1, is_stable=False))
+        f2u = jax.jit(
+            lambda x, y: jax.lax.sort((x, y), num_keys=1, is_stable=False))
+        # single-operand i64 with the payload packed in the low 32 bits
+        def packed_i64(x, y):
+            kv = (x.astype(jnp.int64) << 32) | y.astype(jnp.uint32).astype(jnp.int64)
+            (s,) = jax.lax.sort((kv,), num_keys=1, is_stable=False)
+            return (s >> 32).astype(jnp.int32), s.astype(jnp.int32)
+        fp64 = jax.jit(packed_i64)
         print(f"K={k_total}")
         print(f"  flat1 {timeit(f1, keys):8.2f} ms")
+        print(f"  flat1u {timeit(f1u, keys):8.2f} ms")
         print(f"  flat2 {timeit(f2, keys, vals):8.2f} ms")
+        print(f"  flat2u {timeit(f2u, keys, vals):8.2f} ms")
         print(f"  flat3 {timeit(f3, keys, vals, v2):8.2f} ms")
+        print(f"  pack64u {timeit(fp64, keys, vals):8.2f} ms")
         for b in (8, 32, 128):
             if k_total % b:
                 continue
