@@ -99,6 +99,8 @@ def generate_scene(
     far: float = 30.0,
     max_retries: int = 3,
     sh_degree: int = 2,
+    n_panels: int = 0,
+    scale_jitter: float = 1.0,
 ):
     """Build a world, sample a trajectory, render, filter, write one scene.
 
@@ -109,7 +111,8 @@ def generate_scene(
     rejections = 0
     for attempt in range(max_retries):
         s = seed + 1000 * attempt
-        world = build_room_world(seed=s, spacing=spacing, sh_degree=sh_degree)
+        world = build_room_world(seed=s, spacing=spacing, sh_degree=sh_degree,
+                                 n_panels=n_panels, scale_jitter=scale_jitter)
         poses = sample_trajectory(world, n_frames, seed=s)
         frames = _render_frames(world, poses, image_shape, via_cubes, far)
         zero_ratios = [float((a < 0.5).mean()) for _, _, a in frames]

@@ -115,17 +115,29 @@ def build_room_world(
     n_furniture: int = 4,
     spacing: float = 0.09,
     sh_degree: int = 2,
+    n_panels: int = 0,
+    scale_jitter: float = 1.0,
 ) -> RoomWorld:
     """Build a closed textured room (x-width, y-height, z-depth) with furniture.
 
     Gaussian count scales as (surface area) / spacing^2 — the defaults give
     ~25k. Use a coarser spacing for CPU tests.
+
+    n_panels > 0 adds STEREO-HARD content (VERDICT r4 next #3: "rebuild the
+    benchmark so stereo can win"): thin textured rectangles floating at
+    random positions/orientations/depths inside the room. Their texture is
+    drawn from the same family as the walls, so APPEARANCE CARRIES NO DEPTH
+    CUE — a monocular prior cannot place them (unlike walls/furniture, whose
+    depth is predictable from room context), while two posed views can
+    triangulate them. scale_jitter > 1 additionally widens the room-size
+    randomization (monocular metric scale relies on a stable room prior).
     """
     rng = np.random.RandomState(seed)
+    lo, hi = 0.8 / scale_jitter, 1.3 * scale_jitter
     w, h, d = (
-        room_size[0] * rng.uniform(0.8, 1.3),
+        room_size[0] * rng.uniform(lo, hi),
         room_size[1] * rng.uniform(0.9, 1.15),
-        room_size[2] * rng.uniform(0.8, 1.3),
+        room_size[2] * rng.uniform(lo, hi),
     )
     half = np.array([w / 2, 0.0, d / 2])
     bmin = np.array([-w / 2, 0.0, -d / 2])
@@ -169,6 +181,30 @@ def build_room_world(
         boxes.append(np.stack([fmin, fmax]))
         col = rng.uniform(0.15, 0.9, 3)
         parts.extend(_box_surfaces(rng, fmin, fmax, spacing, col, sh_degree))
+
+    # floating panels (stereo-hard content; see docstring). Kept above
+    # furniture height and off the walls; orientation is a random rotation
+    # about y plus a random tilt, texture from the wall palette.
+    for _ in range(n_panels):
+        pw = rng.uniform(0.5, 1.4)
+        ph = rng.uniform(0.4, 1.0)
+        cy = rng.uniform(1.2, h - 0.3)
+        cx = rng.uniform(-w / 2 + 0.8, w / 2 - 0.8)
+        cz = rng.uniform(-d / 2 + 0.8, d / 2 - 0.8)
+        yaw = rng.uniform(0, 2 * np.pi)
+        tilt = rng.uniform(-0.4, 0.4)
+        ex = np.array([np.cos(yaw), 0.0, np.sin(yaw)]) * pw
+        ey_dir = np.array(
+            [-np.sin(yaw) * np.sin(tilt), np.cos(tilt),
+             np.cos(yaw) * np.sin(tilt)]
+        )
+        ey = ey_dir * ph
+        nrm = np.cross(ex / pw, ey_dir)
+        origin = np.array([cx, cy, cz]) - ex / 2 - ey / 2
+        col = np.clip(wall_rgb + rng.uniform(-0.1, 0.1, 3), 0.05, 0.95)
+        parts.append(_surface_grid(
+            rng, origin, ex, ey, max(int(pw / spacing), 2),
+            max(int(ph / spacing), 2), col, spacing, nrm, sh_degree))
 
     means = np.concatenate([p[0] for p in parts])
     covs = np.concatenate([p[1] for p in parts])
